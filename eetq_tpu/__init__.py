@@ -1,0 +1,20 @@
+"""eetq-tpu: TPU-native W8A16 weight-only quantized inference engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of NetEase-FuXi/EETQ
+(reference: /root/reference). Per-channel symmetric INT8 weight-only PTQ, fused
+dequant+matmul Pallas kernels (tiled prefill GEMM + bandwidth-bound decode GEMV),
+fused flash-attention decoder layers, one-line quantize-and-swap, HF-format
+quantized checkpoints, and first-class tensor-parallel serving over TPU meshes.
+"""
+
+__version__ = "0.1.0"
+
+from eetq_tpu.quant import symmetric_quantize, dequantize
+from eetq_tpu.ops import w8a16_matmul
+
+__all__ = [
+    "symmetric_quantize",
+    "dequantize",
+    "w8a16_matmul",
+    "__version__",
+]

@@ -1,0 +1,103 @@
+"""Kernel-config selection: heuristic + per-shape cache (+ optional measured
+autotune on real hardware).
+
+The reference enumerates CUTLASS tile configs and scores them with an
+SM-occupancy wave-quantization model on EVERY GEMM call
+(`csrc/cutlass_kernels/cutlass_heuristic.cc:105-206`,
+`fpA_intB_gemm_template.h:439-490` — uncached, a known wart). Here the
+selection is cached per logical shape, and jit caching makes the compiled
+kernel itself persistent.
+
+TPU differences that shape the heuristic: a TensorCore executes the Pallas
+grid sequentially with pipelined DMA (no SM occupancy / wave quantization),
+so the goals are (1) blocks big enough that HBM DMA streams at full
+bandwidth and the MXU stays fed, (2) double-buffered working set within
+VMEM (~16 MiB higher bound, budgeted lower), (3) for the decode regime
+(m <= MAX_DECODE_M) minimize per-block overhead: whole-K blocks so there is
+no accumulator carry and the int8 weight is read exactly once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+from eetq_tpu.layout import DEFAULT_LAYOUT
+
+# Decode regime threshold. The reference uses m <= 4
+# (`fpA_intB_gemm_wrapper.h:4` SMALL_M_FAST_PATH); on TPU the fp32 sublane is
+# 8, so every m <= 8 costs the same — widen the fast path to 8.
+MAX_DECODE_M = 8
+
+VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # leave headroom under the 16 MiB/core
+
+
+@dataclasses.dataclass(frozen=True)
+class MatmulConfig:
+    """Block shape for the w8a16 matmul kernel. All multiples of the layout
+    granule so blocks exactly divide the packed (padded) weight dims."""
+
+    bm: int
+    bn: int
+    bk: int
+
+    def vmem_bytes(self, x_bytes: int = 2, out_bytes: int = 2) -> int:
+        # x block + int8 w block (double-buffered) + f32 acc + out block.
+        return 2 * (self.bm * self.bk * x_bytes + self.bk * self.bn) + (
+            self.bm * self.bn * 4 + 2 * self.bm * self.bn * out_bytes
+        )
+
+
+def _divisors_from(candidates: tuple[int, ...], dim: int) -> list[int]:
+    return [c for c in candidates if dim % c == 0]
+
+
+@functools.lru_cache(maxsize=4096)
+def choose_config(m: int, kp: int, np_: int) -> MatmulConfig:
+    """Pick a block config for logical m and packed (padded) Kp, Np.
+
+    Cached per shape (the fix for the reference's reselect-every-call,
+    `fpA_intB_gemm_template.h:455-487`).
+    """
+    g = DEFAULT_LAYOUT.n_tile
+    assert kp % DEFAULT_LAYOUT.k_tile == 0 and np_ % g == 0, (m, kp, np_)
+
+    if m <= MAX_DECODE_M:
+        # Decode GEMV regime: weight-bandwidth-bound. Whole-K blocks (no
+        # accumulator carry, weight streamed exactly once), bn sized to fill
+        # the DMA pipe while fitting VMEM double-buffered. bm=16 = the bf16
+        # sublane tile, so the (tiny) activation block is never sub-tile.
+        bm = 16
+        for bn in (512, 256):
+            if np_ % bn == 0:
+                cfg = MatmulConfig(bm=bm, bn=bn, bk=kp)
+                if cfg.vmem_bytes() <= VMEM_BUDGET_BYTES:
+                    return cfg
+        # Very large K: split K instead.
+        for bk in (8192, 4096, 2048, 1024, 512, 256):
+            if kp % bk == 0:
+                cfg = MatmulConfig(bm=bm, bn=256, bk=bk)
+                if cfg.vmem_bytes() <= VMEM_BUDGET_BYTES:
+                    return cfg
+        return MatmulConfig(bm=bm, bn=256, bk=256)
+
+    # Prefill GEMM regime: MXU-bound. Large square-ish blocks, deep-K.
+    best = None
+    for bm in (512, 256, 128):
+        if bm > max(128, 2 * m):
+            continue  # don't waste compute on padding rows
+        for bn in (512, 256):
+            if np_ % bn != 0:
+                continue
+            for bk in (1024, 512, 256):
+                if kp % bk != 0:
+                    continue
+                cfg = MatmulConfig(bm, bn, bk)
+                if cfg.vmem_bytes() > VMEM_BUDGET_BYTES:
+                    continue
+                score = (bm * bn, bk)  # prefer big output tiles, then deep K
+                if best is None or score > best[0]:
+                    best = (score, cfg)
+    if best is None:
+        return MatmulConfig(bm=128, bn=256, bk=256)
+    return best[1]

@@ -1,0 +1,32 @@
+"""Test configuration: force CPU backend with 8 virtual devices so the full
+multi-chip sharding path is exercised without TPU hardware (SURVEY.md §4).
+
+Note: this environment's sitecustomize registers a TPU PJRT plugin and calls
+`jax.config.update("jax_platforms", "axon,cpu")` in every process, which
+overrides the JAX_PLATFORMS env var — so we must force CPU via config.update
+AFTER importing jax, before any backend is initialized.
+
+Run tests on the real TPU instead with: EETQ_TEST_TPU=1 python -m pytest
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+if not os.environ.get("EETQ_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

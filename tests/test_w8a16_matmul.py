@@ -1,0 +1,144 @@
+"""Kernel-vs-reference exactness tests — the analogue (and superset) of the
+reference's `examples/layers/test_w8a16_gemm.py` dual-path consistency check:
+quantize -> pack -> kernel must equal the jnp dequant-matmul oracle, in both
+regimes (decode GEMV m <= 8 and prefill GEMM), with every epilogue."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eetq_tpu.kernels.autotune import MAX_DECODE_M, MatmulConfig, choose_config
+from eetq_tpu.kernels.w8a16 import w8a16_matmul_ref
+from eetq_tpu.layout import pack_weights
+from eetq_tpu.ops import w8a16_matmul
+from eetq_tpu.quant import symmetric_quantize
+
+
+def _setup(rng, m, k, n, dtype=jnp.float32):
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32), dtype=dtype)
+    w = rng.standard_normal((k, n)).astype(np.float32) / np.sqrt(k)
+    q, s = symmetric_quantize(jnp.asarray(w))
+    return x, q, s, w
+
+
+@pytest.mark.parametrize(
+    "m,k,n",
+    [
+        (1, 256, 256),     # decode regime, exact tile
+        (4, 512, 768),     # decode regime (reference SMALL_M_FAST_PATH m<=4)
+        (8, 512, 512),     # decode boundary
+        (16, 256, 256),    # prefill regime, small
+        (100, 300, 200),   # unaligned everything
+        (128, 1024, 512),  # prefill regime
+    ],
+)
+def test_kernel_matches_reference(rng, m, k, n):
+    x, q, s, _ = _setup(rng, m, k, n)
+    out = w8a16_matmul(x, q, s)
+    ref = w8a16_matmul_ref(x, q, s)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_dual_path_consistency(rng):
+    """quantize->pack->kernel == quantize->kernel(raw int8): the reference's
+    test_w8a16_gemm.py:28-48 invariant."""
+    x, q, s, _ = _setup(rng, 16, 512, 512)
+    out_raw = w8a16_matmul(x, q, s)
+    out_packed = w8a16_matmul(x, pack_weights(q), s)
+    np.testing.assert_array_equal(np.asarray(out_raw), np.asarray(out_packed))
+
+
+def test_accuracy_vs_fp32_matmul(rng):
+    """End-to-end quantization error at module tolerance (reference
+    test_qlinear.py uses atol=1e-2 at fp16)."""
+    x, q, s, w = _setup(rng, 64, 1024, 1024)
+    out = np.asarray(w8a16_matmul(x, q, s), np.float32)
+    exact = np.asarray(x, np.float32) @ w
+    assert np.abs(out - exact).mean() < 2e-2
+
+
+def test_decode_vs_prefill_config_same_result(rng):
+    x, q, s, _ = _setup(rng, 8, 512, 512)
+    packed = pack_weights(q)
+    out_decode = w8a16_matmul(x, packed, s, config=choose_config(1, packed.kp, packed.np))
+    out_prefill = w8a16_matmul(x, packed, s, config=MatmulConfig(bm=128, bn=256, bk=256))
+    np.testing.assert_allclose(
+        np.asarray(out_decode, np.float32),
+        np.asarray(out_prefill, np.float32),
+        rtol=1e-5,
+        atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("activation", [None, "relu", "gelu", "silu"])
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_epilogues(rng, activation, with_bias):
+    x, q, s, _ = _setup(rng, 32, 256, 256)
+    bias = jnp.asarray(rng.standard_normal(256).astype(np.float32)) if with_bias else None
+    out = w8a16_matmul(x, q, s, bias=bias, activation=activation)
+    ref = w8a16_matmul_ref(x, q, s, bias=bias, activation=activation)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2
+    )
+
+
+@pytest.mark.parametrize("mode", ["add", "mul"])
+def test_residual_epilogue(rng, mode):
+    x, q, s, _ = _setup(rng, 32, 256, 256)
+    res = jnp.asarray(rng.standard_normal((32, 256)).astype(np.float32))
+    out = w8a16_matmul(x, q, s, activation="gelu", residual=res, residual_mode=mode)
+    ref = w8a16_matmul_ref(x, q, s, activation="gelu", residual=res, residual_mode=mode)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_bf16_activations(rng):
+    x, q, s, w = _setup(rng, 16, 512, 512, dtype=jnp.bfloat16)
+    out = w8a16_matmul(x, q, s)
+    assert out.dtype == jnp.bfloat16
+    exact = np.asarray(x, np.float32) @ w
+    assert np.abs(np.asarray(out, np.float32) - exact).mean() < 5e-2
+
+
+def test_leading_dims(rng):
+    x = jnp.asarray(rng.standard_normal((2, 3, 256)).astype(np.float32))
+    w = rng.standard_normal((256, 128)).astype(np.float32)
+    q, s = symmetric_quantize(jnp.asarray(w))
+    out = w8a16_matmul(x, q, s)
+    assert out.shape == (2, 3, 128)
+    flat = w8a16_matmul(x.reshape(6, 256), q, s)
+    np.testing.assert_array_equal(np.asarray(out).reshape(6, 128), np.asarray(flat))
+
+
+def test_3d_batched_expert_weights_vmap(rng):
+    """3-D 'experts' weights work under vmap (reference's batched quantize,
+    `fpA_intB_gemm_wrapper.cu:44-66`)."""
+    import jax
+
+    w = rng.standard_normal((3, 128, 64)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((3, 8, 128)).astype(np.float32))
+    q, s = symmetric_quantize(jnp.asarray(w))
+    out = jax.vmap(lambda xe, qe, se: w8a16_matmul(xe, qe, se, use_kernel=False))(x, q, s)
+    for e in range(3):
+        ref = w8a16_matmul_ref(x[e], q[e], s[e])
+        np.testing.assert_allclose(np.asarray(out[e]), np.asarray(ref), rtol=1e-5)
+
+
+def test_shape_mismatch_raises(rng):
+    x, q, s, _ = _setup(rng, 4, 256, 256)
+    with pytest.raises(ValueError):
+        w8a16_matmul(x[:, :128], q, s)
+
+
+def test_config_cache_and_regimes():
+    # Llama-13B MLP decode shape (the reference's micro-benchmark shape,
+    # test_w8a16_gemm.py: M=1, N=13824, K=5120).
+    cfg_decode = choose_config(1, 5120, 13824)
+    assert cfg_decode.bm == 16 and cfg_decode.bk == 5120  # whole-K streaming
+    cfg_prefill = choose_config(1024, 5120, 13824)
+    assert cfg_prefill.bm >= 128
+    assert choose_config(1, 5120, 13824) is cfg_decode  # lru cached
+    assert MAX_DECODE_M == 8
