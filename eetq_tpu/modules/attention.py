@@ -1,0 +1,169 @@
+"""Attention with a preallocated KV cache, GQA, causal masking and optional
+sliding window.
+
+Re-designs the reference's fused attention modules
+(`python/eetq/modules/llama_modules.py:68-240`), which concat past_key_value
+along the sequence axis every step (O(seq^2) decode, host-framework-owned).
+Here the cache is a preallocated static-shape ring buffer updated with
+`lax.dynamic_update_slice` — jit-stable shapes, no reallocation, shardable
+over the TP (heads) mesh axis.
+
+The prefill path uses the Pallas flash-attention kernel when available
+(eetq_tpu.kernels.flash_attention); decode (S=1) is a bandwidth-bound
+cache-read einsum that XLA schedules at speed of light on its own.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Per-layer KV cache: [batch, max_len, n_kv_heads, head_dim]."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[1]
+
+
+def init_kv_cache(
+    batch: int, max_len: int, n_kv_heads: int, head_dim: int, dtype=jnp.bfloat16
+) -> KVCache:
+    shape = (batch, max_len, n_kv_heads, head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def update_cache(cache: KVCache, k_new: jax.Array, v_new: jax.Array, offset) -> KVCache:
+    """Write [B, S, Hkv, D] new keys/values at sequence position `offset`."""
+    zeros = (0, offset, 0, 0)
+    return KVCache(
+        k=jax.lax.dynamic_update_slice(cache.k, k_new.astype(cache.k.dtype), zeros),
+        v=jax.lax.dynamic_update_slice(cache.v, v_new.astype(cache.v.dtype), zeros),
+    )
+
+
+def _gqa_scores(q: jax.Array, k: jax.Array) -> jax.Array:
+    """q: [B, S, Hq, D], k: [B, L, Hkv, D] -> scores [B, Hq, S, L] with GQA
+    head grouping (Hq = Hkv * group)."""
+    b, s, hq, d = q.shape
+    hkv = k.shape[2]
+    group = hq // hkv
+    qg = q.reshape(b, s, hkv, group, d)
+    scores = jnp.einsum(
+        "bskgd,blkd->bkgsl", qg, k, preferred_element_type=jnp.float32
+    )
+    return scores.reshape(b, hq, s, scores.shape[-1])
+
+
+def _gqa_out(probs: jax.Array, v: jax.Array) -> jax.Array:
+    """probs: [B, Hq, S, L], v: [B, L, Hkv, D] -> [B, S, Hq, D]."""
+    b, hq, s, l = probs.shape
+    hkv = v.shape[2]
+    group = hq // hkv
+    pg = probs.reshape(b, hkv, group, s, l)
+    out = jnp.einsum("bkgsl,blkd->bskgd", pg, v.astype(probs.dtype))
+    return out.reshape(b, s, hq, -1)
+
+
+def attention_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array | None,
+    scale: float,
+) -> jax.Array:
+    """Masked softmax attention oracle (f32 softmax). q [B,S,Hq,D],
+    k/v [B,L,Hkv,D], mask broadcastable to [B,1,S,L] (True = attend)."""
+    scores = _gqa_scores(q, k) * scale
+    if mask is not None:
+        scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return _gqa_out(probs, v).astype(q.dtype)
+
+
+def causal_mask(s: int, window: int | None = None) -> jax.Array:
+    """[1, 1, s, s] causal (optionally sliding-window) mask."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    m = j <= i
+    if window is not None:
+        m &= j > i - window
+    return m[None, None]
+
+
+@functools.partial(jax.jit, static_argnames=("window", "use_flash"))
+def attention_prefill(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    window: int | None = None,
+    use_flash: bool = True,
+) -> jax.Array:
+    """Causal self-attention among the current S tokens (cache_len == 0).
+
+    is_causal=True mirrors the reference's prefill branch
+    (`llama_modules.py:109,132-141`).
+    """
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    if use_flash:
+        from eetq_tpu.kernels.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, causal=True, window=window, scale=scale)
+    return attention_reference(q, k, v, causal_mask(q.shape[1], window), scale)
+
+
+@jax.jit
+def attention_decode(
+    q: jax.Array,
+    cache: KVCache,
+    length,
+    window: int | None = None,
+) -> jax.Array:
+    """Single-step decode: q [B, 1, Hq, D] attends over cache[:, :length].
+
+    length is the number of valid cache entries INCLUDING the token being
+    decoded (whose K/V must already be written at position length-1).
+    """
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    l = cache.max_len
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, l), 3)
+    mask = pos < jnp.asarray(length, jnp.int32).reshape(-1, 1, 1, 1)
+    if window is not None:
+        mask &= pos >= jnp.asarray(length, jnp.int32).reshape(-1, 1, 1, 1) - window
+    return attention_reference(q, cache.k, cache.v, mask, scale)
+
+
+def attention(
+    q: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    cache: KVCache | None,
+    offset,
+    window: int | None = None,
+    use_flash: bool = True,
+) -> tuple[jax.Array, KVCache | None]:
+    """Unified entry: write K/V to cache at `offset`, attend appropriately.
+
+    Prefill = S > 1 with offset 0; decode = S == 1 with offset = current
+    length. Returns (attn_out [B, S, Hq, D], updated cache).
+    """
+    s = q.shape[1]
+    if cache is not None:
+        cache = update_cache(cache, k_new, v_new, offset)
+    if s == 1:
+        assert cache is not None, "decode requires a KV cache"
+        out = attention_decode(q, cache, offset + 1, window=window)
+    else:
+        out = attention_prefill(q, k_new, v_new, window=window, use_flash=use_flash)
+    return out, cache

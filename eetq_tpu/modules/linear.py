@@ -1,0 +1,139 @@
+"""Quantized linear layers as functional pytree modules.
+
+The TPU-native re-design of the reference's `W8A16Linear` / `EetqLinear` /
+`W8A16LoraLinear` (`python/eetq/modules/qlinear.py`). Instead of nn.Module
+buffers, each layer is a frozen dataclass pytree of arrays; `linear_apply`
+is the forward. This is what makes runtime tensor parallelism trivial: pjit
+shards these pytrees with NamedSharding rules (eetq_tpu.dist).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from eetq_tpu.layout import PackedWeight, pack_weights
+from eetq_tpu.ops import w8a16_matmul
+from eetq_tpu.quant import symmetric_quantize
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DenseLinear:
+    """Unquantized linear (kept in bf16), weight stored [K, N]."""
+
+    weight: jax.Array
+    bias: jax.Array | None = None
+
+    @property
+    def in_features(self) -> int:
+        return self.weight.shape[0]
+
+    @property
+    def out_features(self) -> int:
+        return self.weight.shape[1]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantLinear:
+    """W8A16 linear: int8 qweight (packed [Kp, Np]) + per-channel scales [N].
+
+    Mirrors the reference's buffer layout — qweight [in, out] int8 + fp
+    weight_scales [out] (`modules/qlinear.py:27-41`) — with the packed tile
+    layout of eetq_tpu.layout instead of the CUDA interleave.
+    """
+
+    qweight: PackedWeight
+    scales: jax.Array
+    bias: jax.Array | None = None
+
+    @property
+    def in_features(self) -> int:
+        return self.qweight.k
+
+    @property
+    def out_features(self) -> int:
+        return self.qweight.n
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LoraAdapter:
+    """Unquantized low-rank side path: x @ A @ B * scaling.
+
+    The analogue of `W8A16LoraLinear` (`modules/qlinear.py:127-186`): base
+    GEMM stays quantized/frozen, the LoRA path runs in bf16 and its params
+    are the only trainable leaves.
+    """
+
+    lora_a: jax.Array  # [K, r]
+    lora_b: jax.Array  # [r, N]
+    scaling: float = dataclasses.field(default=1.0, metadata=dict(static=True))
+
+
+def quantize_linear(
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+    bits: int = 8,
+    external_scales: jax.Array | None = None,
+) -> QuantLinear:
+    """Build a QuantLinear from a float [K, N] weight.
+
+    external_scales supports the bitsandbytes import path (reference
+    `utils/quantizer.py:23-25`: already-int8 weights with scales = SCB/127) —
+    pass pre-quantized int8 `weight` plus its scales and it is repacked
+    without requantization.
+    """
+    if weight.dtype == jnp.int8:
+        if external_scales is None:
+            raise ValueError("int8 weight requires external_scales")
+        return QuantLinear(
+            qweight=pack_weights(weight), scales=external_scales, bias=bias
+        )
+    if external_scales is not None:
+        raise ValueError("external_scales only valid with int8 weight")
+    q, s = symmetric_quantize(weight, bits=bits)
+    return QuantLinear(qweight=pack_weights(q), scales=s, bias=bias)
+
+
+def init_only_linear(k: int, n: int, with_bias: bool = False) -> QuantLinear:
+    """Empty shell for checkpoint loading (reference `init_only=True`,
+    `utils/quantizer.py:13-38`)."""
+    q = jnp.zeros((k, n), dtype=jnp.int8)
+    return QuantLinear(
+        qweight=pack_weights(q),
+        scales=jnp.zeros((n,), dtype=jnp.float32),
+        bias=jnp.zeros((n,), dtype=jnp.bfloat16) if with_bias else None,
+    )
+
+
+def linear_apply(
+    layer: QuantLinear | DenseLinear,
+    x: jax.Array,
+    activation: str | None = None,
+    lora: LoraAdapter | None = None,
+) -> jax.Array:
+    """Forward through a (quantized or dense) linear with optional fused
+    activation and LoRA side path."""
+    if isinstance(layer, QuantLinear):
+        out = w8a16_matmul(
+            x, layer.qweight, layer.scales, bias=layer.bias, activation=activation
+        )
+    else:
+        out = jnp.dot(x, layer.weight.astype(x.dtype), preferred_element_type=jnp.float32)
+        if layer.bias is not None:
+            out = out + layer.bias.astype(jnp.float32)
+        if activation is not None:
+            out = {"relu": jax.nn.relu, "gelu": jax.nn.gelu, "silu": jax.nn.silu}[
+                activation
+            ](out)
+        out = out.astype(x.dtype)
+    if lora is not None:
+        if activation is not None:
+            raise ValueError("LoRA with fused activation is not supported")
+        side = (x @ lora.lora_a.astype(x.dtype)) @ lora.lora_b.astype(x.dtype)
+        out = out + side * lora.scaling
+    return out

@@ -11,6 +11,8 @@ and jit caches the compiled kernel.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -24,6 +26,75 @@ def _default_interpret() -> bool:
     # on real TPU. The reference's analogue is interpret-mode = its unit
     # "sanitizer" (SURVEY.md §5).
     return jax.default_backend() != "tpu"
+
+
+def _ref_forward(x2, qdata, k, n, scales, bias, residual, activation, residual_mode):
+    """jnp dequant-matmul path on the packed (padded) weight buffer."""
+    return w8a16_matmul_ref(
+        x2,
+        qdata[:k, :n],
+        scales[:n],
+        bias=bias,
+        activation=activation,
+        residual=residual,
+        residual_mode=residual_mode,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _w8a16_matmul_core(
+    x2, qdata, scales, bias, residual,
+    k, n, activation, residual_mode, config, interpret, use_kernel,
+):
+    if not use_kernel:
+        return _ref_forward(
+            x2, qdata, k, n, scales, bias, residual, activation, residual_mode
+        )
+    m = x2.shape[0]
+    kp, np_ = qdata.shape
+    mp = -(-m // config.bm) * config.bm
+    # Zero-padding is exact: padded x columns multiply padded (zero) weight
+    # rows, and padded output rows/cols are sliced off.
+    xp = jnp.pad(x2, ((0, mp - m), (0, kp - k)))
+    scales_p = jnp.pad(scales, (0, np_ - n)).astype(jnp.float32)
+    bias_p = None if bias is None else jnp.pad(bias, (0, np_ - n))
+    res_p = None
+    if residual is not None:
+        res_p = jnp.pad(residual, ((0, mp - m), (0, np_ - n)))
+    epilogue = Epilogue(
+        has_bias=bias is not None,
+        activation=activation,
+        residual=None if residual is None else residual_mode,
+    )
+    out = w8a16_matmul_kernel_call(
+        xp, qdata, scales_p, bias_p, res_p, config, epilogue, interpret
+    )
+    return out[:m, :n]
+
+
+def _core_fwd(x2, qdata, scales, bias, residual, *statics):
+    out = _w8a16_matmul_core(x2, qdata, scales, bias, residual, *statics)
+    return out, (x2, qdata, scales, bias, residual)
+
+
+def _core_bwd(k, n, activation, residual_mode, config, interpret, use_kernel,
+              saved, g):
+    """Backward for LoRA-over-frozen-quantized training (the reference's
+    hand-written `EetqLinearMMFunction.backward`, qlinear.py:64-94, which
+    dequantizes W and computes grad_input). Here we differentiate the jnp
+    dequant-matmul reference path — exact, and XLA fuses the dequant into
+    the transposed matmul. int8 qweight gets a float0 cotangent (frozen)."""
+    x2, qdata, scales, bias, residual = saved
+    _, vjp = jax.vjp(
+        lambda xx, qq, ss, bb, rr: _ref_forward(
+            xx, qq, k, n, ss, bb, rr, activation, residual_mode
+        ),
+        x2, qdata, scales, bias, residual,
+    )
+    return vjp(g)
+
+
+_w8a16_matmul_core.defvjp(_core_fwd, _core_bwd)
 
 
 def w8a16_matmul(
@@ -62,42 +133,15 @@ def w8a16_matmul(
     for d in lead:
         m *= d
     x2 = x.reshape(m, k)
+    res2 = None if residual is None else residual.reshape(m, n)
 
-    if not use_kernel:
-        out = w8a16_matmul_ref(
-            x2,
-            qweight.data[:k, :n],
-            scales[:n],
-            bias=bias,
-            activation=activation,
-            residual=None if residual is None else residual.reshape(m, n),
-            residual_mode=residual_mode,
-        )
-        return out.reshape(*lead, n)
-
-    kp, np_ = qweight.kp, qweight.np
     if config is None:
-        config = choose_config(m, kp, np_)
+        config = choose_config(m, qweight.kp, qweight.np)
     if interpret is None:
         interpret = _default_interpret()
 
-    # Pad operands to block multiples. Zero-padding is exact: padded x columns
-    # multiply padded (zero) weight rows, and padded output rows/cols are
-    # sliced off.
-    mp = -(-m // config.bm) * config.bm
-    xp = jnp.pad(x2, ((0, mp - m), (0, kp - k)))
-    scales_p = jnp.pad(scales, (0, np_ - n)).astype(jnp.float32)
-    bias_p = None if bias is None else jnp.pad(bias, (0, np_ - n))
-    res_p = None
-    if residual is not None:
-        res_p = jnp.pad(residual.reshape(m, n), ((0, mp - m), (0, np_ - n)))
-
-    epilogue = Epilogue(
-        has_bias=bias is not None,
-        activation=activation,
-        residual=None if residual is None else residual_mode,
+    out = _w8a16_matmul_core(
+        x2, qweight.data, scales, bias, res2,
+        k, n, activation, residual_mode, config, interpret, use_kernel,
     )
-    out = w8a16_matmul_kernel_call(
-        xp, qweight.data, scales_p, bias_p, res_p, config, epilogue, interpret
-    )
-    return out[:m, :n].reshape(*lead, n)
+    return out.reshape(*lead, n)
