@@ -1,0 +1,128 @@
+"""Model configuration for the llama-family decoder architectures the
+reference supports (llama, baichuan, gemma — `python/eetq/models/auto.py:6-10`)
+plus mistral (BASELINE config 4). One parameterized architecture covers all of
+them; per-model differences are data, not code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    max_position: int = 4096
+    rope_theta: float = 10000.0
+    rope_dim: int | None = None  # defaults to head_dim
+    rms_eps: float = 1e-5
+    activation: str = "silu"
+    sliding_window: int | None = None  # mistral
+    tie_word_embeddings: bool = False  # gemma, tinyllama-chat variants
+    embedding_multiplier: float | None = None  # gemma: sqrt(hidden_size)
+    rmsnorm_unit_offset: bool = False  # gemma: gamma = 1 + w
+    qkv_bias: bool = False
+    model_type: str = "llama"
+
+    @property
+    def rot_dim(self) -> int:
+        return self.rope_dim or self.head_dim
+
+    @property
+    def qkv_out(self) -> int:
+        return (self.num_heads + 2 * self.num_kv_heads) * self.head_dim
+
+    @classmethod
+    def from_hf_config(cls, hf: dict) -> "ModelConfig":
+        """Build from a HuggingFace config.json dict (llama/mistral/gemma/
+        baichuan/tinyllama)."""
+        model_type = hf.get("model_type", "llama")
+        num_heads = hf["num_attention_heads"]
+        num_kv = hf.get("num_key_value_heads", num_heads)
+        head_dim = hf.get("head_dim") or hf["hidden_size"] // num_heads
+        act = hf.get("hidden_act", "silu")
+        if act in ("gelu_pytorch_tanh", "gelu_new", "gelu_fast"):
+            act = "gelu"
+        return cls(
+            vocab_size=hf["vocab_size"],
+            hidden_size=hf["hidden_size"],
+            intermediate_size=hf["intermediate_size"],
+            num_layers=hf["num_hidden_layers"],
+            num_heads=num_heads,
+            num_kv_heads=num_kv,
+            head_dim=head_dim,
+            max_position=hf.get("max_position_embeddings", 4096),
+            rope_theta=hf.get("rope_theta", 10000.0),
+            rms_eps=hf.get("rms_norm_eps", 1e-5),
+            activation=act,
+            sliding_window=hf.get("sliding_window"),
+            tie_word_embeddings=hf.get("tie_word_embeddings", False),
+            embedding_multiplier=(
+                hf["hidden_size"] ** 0.5 if model_type == "gemma" else None
+            ),
+            rmsnorm_unit_offset=model_type == "gemma",
+            model_type=model_type,
+        )
+
+
+# ---- presets (shapes from the public HF configs) ----
+
+TINYLLAMA_1_1B = ModelConfig(
+    vocab_size=32000, hidden_size=2048, intermediate_size=5632, num_layers=22,
+    num_heads=32, num_kv_heads=4, head_dim=64, max_position=2048,
+    model_type="llama",
+)
+
+LLAMA2_7B = ModelConfig(
+    vocab_size=32000, hidden_size=4096, intermediate_size=11008, num_layers=32,
+    num_heads=32, num_kv_heads=32, head_dim=128, max_position=4096,
+    model_type="llama",
+)
+
+LLAMA2_13B = ModelConfig(
+    vocab_size=32000, hidden_size=5120, intermediate_size=13824, num_layers=40,
+    num_heads=40, num_kv_heads=40, head_dim=128, max_position=4096,
+    model_type="llama",
+)
+
+LLAMA2_70B = ModelConfig(
+    vocab_size=32000, hidden_size=8192, intermediate_size=28672, num_layers=80,
+    num_heads=64, num_kv_heads=8, head_dim=128, max_position=4096,
+    model_type="llama",
+)
+
+MISTRAL_7B = ModelConfig(
+    vocab_size=32000, hidden_size=4096, intermediate_size=14336, num_layers=32,
+    num_heads=32, num_kv_heads=8, head_dim=128, max_position=32768,
+    sliding_window=4096, model_type="mistral",
+)
+
+GEMMA_7B = ModelConfig(
+    vocab_size=256000, hidden_size=3072, intermediate_size=24576, num_layers=28,
+    num_heads=16, num_kv_heads=16, head_dim=256, max_position=8192,
+    activation="gelu", tie_word_embeddings=True,
+    embedding_multiplier=3072.0**0.5, rmsnorm_unit_offset=True,
+    model_type="gemma",
+)
+
+BAICHUAN_7B = ModelConfig(
+    vocab_size=125696, hidden_size=4096, intermediate_size=11008, num_layers=32,
+    num_heads=32, num_kv_heads=32, head_dim=128, max_position=4096,
+    model_type="baichuan",
+)
+
+PRESETS = {
+    "tinyllama-1.1b": TINYLLAMA_1_1B,
+    "llama2-7b": LLAMA2_7B,
+    "llama2-13b": LLAMA2_13B,
+    "llama2-70b": LLAMA2_70B,
+    "mistral-7b": MISTRAL_7B,
+    "gemma-7b": GEMMA_7B,
+    "baichuan-7b": BAICHUAN_7B,
+}

@@ -1,0 +1,144 @@
+"""The decoder-only transformer forward: one parameterized architecture for
+the llama family (llama / tinyllama / mistral / gemma / baichuan).
+
+Re-designs the reference's per-model nn.Module surgery
+(`python/eetq/models/{llama,baichuan,gemma}.py` + fused attention modules in
+`modules/llama_modules.py`) as a single functional forward over a params
+pytree. QKV and gate/up are FUSED linears (one quantized GEMM each — the
+reference's `fuse_qkv_gateup`, `models/llama.py:39-77`); per-output-channel
+scales make fusion/splitting scale-exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from eetq_tpu.models.config import ModelConfig
+from eetq_tpu.modules.attention import KVCache, attention, init_kv_cache
+from eetq_tpu.modules.linear import (
+    DenseLinear,
+    LoraAdapter,
+    QuantLinear,
+    linear_apply,
+)
+from eetq_tpu.ops import make_cos_sin_cache, rmsnorm, rope
+
+Linear = Any  # QuantLinear | DenseLinear
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LayerParams:
+    input_norm: jax.Array
+    qkv: Linear  # fused [H, (Hq + 2*Hkv) * D]
+    o_proj: Linear
+    post_norm: jax.Array
+    gateup: Linear  # fused [H, 2 * I]
+    down: Linear
+    qkv_lora: LoraAdapter | None = None
+    o_lora: LoraAdapter | None = None
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ModelParams:
+    embed: jax.Array  # [V, H]
+    layers: list[LayerParams]
+    final_norm: jax.Array
+    lm_head: Linear | None  # None -> tied to embed
+
+
+def _norm(x, gamma, cfg: ModelConfig):
+    if cfg.rmsnorm_unit_offset:  # gemma stores gamma - 1
+        gamma = gamma + 1.0
+    return rmsnorm(x, gamma, eps=cfg.rms_eps)
+
+
+def decoder_layer(
+    p: LayerParams,
+    cfg: ModelConfig,
+    x: jax.Array,
+    positions: jax.Array,
+    cos_sin: jax.Array,
+    cache: KVCache | None,
+    offset,
+    use_flash: bool = True,
+) -> tuple[jax.Array, KVCache | None]:
+    b, s, h = x.shape
+    hq, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    # --- attention block ---
+    residual = x
+    y = _norm(x, p.input_norm, cfg)
+    qkv = linear_apply(p.qkv, y, lora=p.qkv_lora)  # [b, s, (hq+2hkv)*d]
+    q, k, v = jnp.split(qkv, [hq * d, (hq + hkv) * d], axis=-1)
+    q = q.reshape(b, s, hq, d)
+    k = k.reshape(b, s, hkv, d)
+    v = v.reshape(b, s, hkv, d)
+    q = rope(q, positions, cos_sin)
+    k = rope(k, positions, cos_sin)
+    attn, cache = attention(
+        q, k, v, cache, offset, window=cfg.sliding_window, use_flash=use_flash
+    )
+    x = residual + linear_apply(p.o_proj, attn.reshape(b, s, hq * d), lora=p.o_lora)
+
+    # --- mlp block (fused gate/up, gated activation) ---
+    residual = x
+    y = _norm(x, p.post_norm, cfg)
+    gateup = linear_apply(p.gateup, y)  # [b, s, 2i]
+    gate, up = jnp.split(gateup, 2, axis=-1)
+    act = {"silu": jax.nn.silu, "gelu": jax.nn.gelu, "relu": jax.nn.relu}[
+        cfg.activation
+    ]
+    x = residual + linear_apply(p.down, (act(gate.astype(jnp.float32)) *
+                                         up.astype(jnp.float32)).astype(x.dtype))
+    return x, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_flash"))
+def forward(
+    params: ModelParams,
+    cfg: ModelConfig,
+    tokens: jax.Array,  # [B, S] int32
+    positions: jax.Array,  # [B, S] int32
+    caches: list[KVCache] | None,
+    offset,
+    use_flash: bool = True,
+) -> tuple[jax.Array, list[KVCache] | None]:
+    """Returns (logits [B, S, V] f32, updated caches)."""
+    x = params.embed[tokens].astype(jnp.bfloat16)
+    if cfg.embedding_multiplier is not None:
+        x = (x.astype(jnp.float32) * cfg.embedding_multiplier).astype(x.dtype)
+    cos_sin = make_cos_sin_cache(cfg.max_position, cfg.rot_dim, base=cfg.rope_theta)
+
+    new_caches = [] if caches is not None else None
+    for i, layer in enumerate(params.layers):
+        cache_i = caches[i] if caches is not None else None
+        x, cache_i = decoder_layer(
+            layer, cfg, x, positions, cos_sin, cache_i, offset, use_flash
+        )
+        if new_caches is not None:
+            new_caches.append(cache_i)
+
+    x = _norm(x, params.final_norm, cfg)
+    if params.lm_head is not None:
+        logits = linear_apply(params.lm_head, x)
+    else:
+        logits = jnp.dot(
+            x, params.embed.T.astype(x.dtype), preferred_element_type=jnp.float32
+        )
+    return logits.astype(jnp.float32), new_caches
+
+
+def init_caches(
+    cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+) -> list[KVCache]:
+    return [
+        init_kv_cache(batch, max_len, cfg.num_kv_heads, cfg.head_dim, dtype)
+        for _ in range(cfg.num_layers)
+    ]

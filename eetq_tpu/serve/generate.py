@@ -1,0 +1,104 @@
+"""Generation loop: jitted prefill + jitted single-token decode step.
+
+The reference delegates generation entirely to HF `transformers.generate`
+(`models/base.py:65-72`); on TPU we own the loop. Shapes are static per
+(batch, prompt-bucket, max_len) so everything compiles once; the KV cache is
+preallocated and threaded functionally through the decode steps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from eetq_tpu.models.config import ModelConfig
+from eetq_tpu.models.transformer import ModelParams, forward, init_caches
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "temperature", "top_k"))
+def _sample(logits, key, cfg, temperature: float, top_k: int):
+    """logits: [B, V] -> tokens [B]."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    return jax.random.categorical(key, logits).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_flash"))
+def prefill(params, cfg, tokens, caches, use_flash: bool = True):
+    """tokens: [B, S] full prompt. Returns (last-token logits [B, V], caches)."""
+    b, s = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    logits, caches = forward(
+        params, cfg, tokens, positions, caches, 0, use_flash=use_flash
+    )
+    return logits[:, -1, :], caches
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_step(params, cfg, token, pos, caches):
+    """token: [B, 1]; pos: scalar int32 position of `token`.
+    Returns (logits [B, V], caches)."""
+    b = token.shape[0]
+    positions = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (b, 1))
+    logits, caches = forward(params, cfg, token, positions, caches, pos)
+    return logits[:, -1, :], caches
+
+
+def generate(
+    params: ModelParams,
+    cfg: ModelConfig,
+    prompt: jax.Array,  # [B, S] int32
+    max_new_tokens: int,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    key: jax.Array | None = None,
+    eos_token_id: int | None = None,
+    kv_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Returns generated tokens [B, max_new_tokens] (prompt not included).
+
+    Greedy when temperature == 0. The python-level loop drives a single
+    compiled decode step; shapes never change, so there is exactly one
+    compilation of each of (prefill, step).
+    """
+    b, s = prompt.shape
+    max_len = s + max_new_tokens
+    caches = init_caches(cfg, b, max_len, dtype=kv_dtype)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    logits, caches = prefill(params, cfg, prompt, caches)
+    out = []
+    key, sub = jax.random.split(key)
+    token = _sample(logits, sub, cfg, temperature, top_k)
+    out.append(token)
+    finished = None
+    if eos_token_id is not None:
+        finished = token == eos_token_id
+    for i in range(1, max_new_tokens):
+        key, sub = jax.random.split(key)
+        # pos as a traced scalar: one compile of decode_step for all steps
+        logits, caches = decode_step(
+            params, cfg, token[:, None], jnp.int32(s + i - 1), caches
+        )
+        token = _sample(logits, sub, cfg, temperature, top_k)
+        if finished is not None:
+            token = jnp.where(finished, eos_token_id, token)
+            finished = finished | (token == eos_token_id)
+        out.append(token)
+        if finished is not None and bool(finished.all()):
+            # pad remaining positions with eos
+            pad = jnp.full((b,), eos_token_id, jnp.int32)
+            out.extend([pad] * (max_new_tokens - 1 - i))
+            break
+    return jnp.stack(out, axis=1)
+
+
+def greedy_generate(params, cfg, prompt, max_new_tokens, **kw):
+    return generate(params, cfg, prompt, max_new_tokens, temperature=0.0, **kw)
