@@ -1,0 +1,196 @@
+"""Headline benchmark: W8A16 decode throughput vs bf16 on the real TPU chip.
+
+Mirrors the reference's benchmark config (`README.md:109-113`: llama-13b,
+prompt=1024, max_new_tokens=50, batch sweep) scaled to what fits one v5e
+chip: Llama-2-7B, batch=1. Weights are random (zero-egress environment) and
+generated directly ON the device — identical compute/bandwidth profile to
+real checkpoints.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is speedup / 1.8 (the BASELINE.md north-star: W8A16 decode
+>= 1.8x bf16 at batch 1).
+
+Env knobs: EETQ_BENCH_PRESET (default llama2-7b), EETQ_BENCH_PROMPT (1024),
+EETQ_BENCH_NEW_TOKENS (50), EETQ_BENCH_BATCH (1).
+"""
+
+import gc
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eetq_tpu.models import PRESETS, init_caches
+from eetq_tpu.models.config import ModelConfig
+from eetq_tpu.models.transformer import LayerParams, ModelParams
+from eetq_tpu.modules.linear import DenseLinear, quantize_linear
+from eetq_tpu.serve.generate import decode_loop, prefill
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _gen_layer(cfg: ModelConfig, key, quantized: bool) -> LayerParams:
+    """Generate one layer's weights on-device; quantize immediately if
+    requested so the dense copy is transient."""
+    ks = jax.random.split(key, 4)
+    h = cfg.hidden_size
+
+    def lin(k, kin, kout):
+        w = (jax.random.normal(k, (kin, kout), jnp.bfloat16) * (kin**-0.5))
+        if quantized:
+            ql = quantize_linear(w.astype(jnp.float32))
+            return ql
+        return DenseLinear(weight=w)
+
+    return LayerParams(
+        input_norm=jnp.ones((h,), jnp.float32),
+        qkv=lin(ks[0], h, cfg.qkv_out),
+        o_proj=lin(ks[1], cfg.num_heads * cfg.head_dim, h),
+        post_norm=jnp.ones((h,), jnp.float32),
+        gateup=lin(ks[2], h, 2 * cfg.intermediate_size),
+        down=lin(ks[3], cfg.intermediate_size, h),
+    )
+
+
+def build_params(cfg: ModelConfig, quantized: bool) -> ModelParams:
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, cfg.num_layers + 2)
+    layers = []
+    for i in range(cfg.num_layers):
+        layers.append(_gen_layer(cfg, keys[i], quantized))
+        jax.block_until_ready(jax.tree.leaves(layers[-1]))
+    embed = (jax.random.normal(keys[-2], (cfg.vocab_size, cfg.hidden_size),
+                               jnp.bfloat16) * 0.02)
+    lm_head = DenseLinear(
+        weight=jax.random.normal(
+            keys[-1], (cfg.hidden_size, cfg.vocab_size), jnp.bfloat16
+        ) * (cfg.hidden_size**-0.5)
+    )
+    return ModelParams(
+        embed=embed,
+        layers=layers,
+        final_norm=jnp.ones((cfg.hidden_size,), jnp.float32),
+        lm_head=lm_head,
+    )
+
+
+def _fetch(x):
+    """Force real device execution by pulling a scalar to the host.
+
+    NOTE: in this environment the TPU sits behind a relay on which
+    jax.block_until_ready does NOT actually synchronize — only a host
+    transfer does. The fixed relay round-trip is measured separately and
+    subtracted from timings.
+    """
+    return np.asarray(jax.tree.leaves(x)[0].ravel()[0])
+
+
+def measure_sync_overhead() -> float:
+    x = jnp.ones((8,), jnp.float32)
+    f = jax.jit(lambda x: x * 2)
+    _fetch(f(x))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _fetch(f(x))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def bench_decode(params, cfg, batch, prompt_len, new_tokens, sync_s) -> dict:
+    """Times the single-dispatch scanned decode loop (real device time:
+    host-fetch forced, relay overhead subtracted)."""
+    max_len = prompt_len + new_tokens
+    prompt = jnp.ones((batch, prompt_len), jnp.int32)
+
+    def run():
+        caches = init_caches(cfg, batch, max_len)
+        logits, caches = prefill(params, cfg, prompt, caches)
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return token, caches
+
+    # compile + warmup (prefill, then the scanned loop)
+    t0 = time.perf_counter()
+    token, caches = run()
+    _fetch(token)
+    compile_prefill = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    toks, _ = decode_loop(params, cfg, token, jnp.int32(prompt_len), caches,
+                          new_tokens)
+    _fetch(toks)
+    compile_decode = time.perf_counter() - t0
+    log(f"  compile+first: prefill {compile_prefill:.1f}s decode {compile_decode:.1f}s")
+
+    # timed prefill
+    token, caches = run()
+    _fetch(token)
+    t0 = time.perf_counter()
+    logits2, _c2 = prefill(params, cfg, prompt, init_caches(cfg, batch, max_len))
+    _fetch(logits2)
+    prefill_s = max(time.perf_counter() - t0 - sync_s, 1e-9)
+    del logits2, _c2
+
+    # timed scanned decode (steps = new_tokens - 1 after the prefill token)
+    token, caches = run()
+    _fetch(token)
+    steps = new_tokens - 1
+    t0 = time.perf_counter()
+    toks, _ = decode_loop(params, cfg, token, jnp.int32(prompt_len), caches,
+                          new_tokens)
+    _fetch(toks)
+    decode_s = max(time.perf_counter() - t0 - sync_s, 1e-9)
+    toks_per_s = batch * steps / decode_s
+    return {
+        "prefill_s": round(prefill_s, 4),
+        "decode_tok_s": round(toks_per_s, 2),
+        "ms_per_step": round(1e3 * decode_s / steps, 3),
+    }
+
+
+def main():
+    preset = os.environ.get("EETQ_BENCH_PRESET", "llama2-7b")
+    prompt_len = int(os.environ.get("EETQ_BENCH_PROMPT", 1024))
+    new_tokens = int(os.environ.get("EETQ_BENCH_NEW_TOKENS", 50))
+    batch = int(os.environ.get("EETQ_BENCH_BATCH", 1))
+    cfg = PRESETS[preset]
+    log(f"bench: {preset} batch={batch} prompt={prompt_len} new={new_tokens} "
+        f"on {jax.devices()}")
+    sync_s = measure_sync_overhead()
+    log(f"host-sync overhead: {sync_s*1e3:.1f}ms (subtracted)")
+
+    log("building bf16 model...")
+    t0 = time.perf_counter()
+    dense = build_params(cfg, quantized=False)
+    log(f"  built in {time.perf_counter() - t0:.1f}s")
+    r_bf16 = bench_decode(dense, cfg, batch, prompt_len, new_tokens, sync_s)
+    log(f"bf16:  {r_bf16}")
+    del dense
+    gc.collect()
+
+    log("building W8A16 model...")
+    t0 = time.perf_counter()
+    quant = build_params(cfg, quantized=True)
+    log(f"  built in {time.perf_counter() - t0:.1f}s")
+    r_q = bench_decode(quant, cfg, batch, prompt_len, new_tokens, sync_s)
+    log(f"w8a16: {r_q}")
+
+    speedup = r_q["decode_tok_s"] / r_bf16["decode_tok_s"]
+    log(f"speedup: {speedup:.3f}x  (w8a16 {r_q['decode_tok_s']:.2f} tok/s vs "
+        f"bf16 {r_bf16['decode_tok_s']:.2f} tok/s)")
+    print(json.dumps({
+        "metric": f"{preset}_w8a16_decode_tok_s_b{batch}_p{prompt_len}",
+        "value": round(r_q["decode_tok_s"], 2),
+        "unit": "tok/s",
+        "vs_baseline": round(speedup / 1.8, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

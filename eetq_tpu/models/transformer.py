@@ -59,6 +59,10 @@ def _norm(x, gamma, cfg: ModelConfig):
     return rmsnorm(x, gamma, eps=cfg.rms_eps)
 
 
+def _maybe_psum(x, tp_axis):
+    return jax.lax.psum(x, tp_axis) if tp_axis is not None else x
+
+
 def decoder_layer(
     p: LayerParams,
     cfg: ModelConfig,
@@ -68,14 +72,22 @@ def decoder_layer(
     cache: KVCache | None,
     offset,
     use_flash: bool = True,
+    tp: int = 1,
+    tp_axis: str | None = None,
 ) -> tuple[jax.Array, KVCache | None]:
+    """One decoder layer. Under tensor parallelism (tp > 1, inside
+    shard_map): p holds the LOCAL shard — qkv/gateup column-parallel (local
+    output columns), o_proj/down row-parallel (local input rows) — and the
+    Megatron-style psum combines the row-parallel partial sums. Attention
+    runs entirely on local heads (zero communication; GQA q-heads co-located
+    with their kv head)."""
     b, s, h = x.shape
-    hq, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    hq, hkv, d = cfg.num_heads // tp, cfg.num_kv_heads // tp, cfg.head_dim
 
     # --- attention block ---
     residual = x
     y = _norm(x, p.input_norm, cfg)
-    qkv = linear_apply(p.qkv, y, lora=p.qkv_lora)  # [b, s, (hq+2hkv)*d]
+    qkv = linear_apply(p.qkv, y, lora=p.qkv_lora)  # [b, s, (hq+2hkv)*d] local
     q, k, v = jnp.split(qkv, [hq * d, (hq + hkv) * d], axis=-1)
     q = q.reshape(b, s, hq, d)
     k = k.reshape(b, s, hkv, d)
@@ -85,23 +97,24 @@ def decoder_layer(
     attn, cache = attention(
         q, k, v, cache, offset, window=cfg.sliding_window, use_flash=use_flash
     )
-    x = residual + linear_apply(p.o_proj, attn.reshape(b, s, hq * d), lora=p.o_lora)
+    o = linear_apply(p.o_proj, attn.reshape(b, s, hq * d), lora=p.o_lora)
+    x = residual + _maybe_psum(o, tp_axis)
 
     # --- mlp block (fused gate/up, gated activation) ---
     residual = x
     y = _norm(x, p.post_norm, cfg)
-    gateup = linear_apply(p.gateup, y)  # [b, s, 2i]
+    gateup = linear_apply(p.gateup, y)  # [b, s, 2*i_local]
     gate, up = jnp.split(gateup, 2, axis=-1)
     act = {"silu": jax.nn.silu, "gelu": jax.nn.gelu, "relu": jax.nn.relu}[
         cfg.activation
     ]
-    x = residual + linear_apply(p.down, (act(gate.astype(jnp.float32)) *
-                                         up.astype(jnp.float32)).astype(x.dtype))
+    down = linear_apply(p.down, (act(gate.astype(jnp.float32)) *
+                                 up.astype(jnp.float32)).astype(x.dtype))
+    x = residual + _maybe_psum(down, tp_axis)
     return x, cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_flash"))
-def forward(
+def forward_inner(
     params: ModelParams,
     cfg: ModelConfig,
     tokens: jax.Array,  # [B, S] int32
@@ -109,8 +122,11 @@ def forward(
     caches: list[KVCache] | None,
     offset,
     use_flash: bool = True,
+    tp: int = 1,
+    tp_axis: str | None = None,
 ) -> tuple[jax.Array, list[KVCache] | None]:
-    """Returns (logits [B, S, V] f32, updated caches)."""
+    """Un-jitted forward body; called directly inside shard_map by
+    eetq_tpu.dist (tp > 1) and via the jitted `forward` single-device."""
     x = params.embed[tokens].astype(jnp.bfloat16)
     if cfg.embedding_multiplier is not None:
         x = (x.astype(jnp.float32) * cfg.embedding_multiplier).astype(x.dtype)
@@ -120,19 +136,39 @@ def forward(
     for i, layer in enumerate(params.layers):
         cache_i = caches[i] if caches is not None else None
         x, cache_i = decoder_layer(
-            layer, cfg, x, positions, cos_sin, cache_i, offset, use_flash
+            layer, cfg, x, positions, cos_sin, cache_i, offset, use_flash,
+            tp=tp, tp_axis=tp_axis,
         )
         if new_caches is not None:
             new_caches.append(cache_i)
 
     x = _norm(x, params.final_norm, cfg)
     if params.lm_head is not None:
+        # Column-parallel lm_head under TP: gather local vocab shards.
         logits = linear_apply(params.lm_head, x)
+        if tp_axis is not None:
+            logits = jax.lax.all_gather(logits, tp_axis, axis=2, tiled=True)
     else:
         logits = jnp.dot(
             x, params.embed.T.astype(x.dtype), preferred_element_type=jnp.float32
         )
     return logits.astype(jnp.float32), new_caches
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_flash"))
+def forward(
+    params: ModelParams,
+    cfg: ModelConfig,
+    tokens: jax.Array,
+    positions: jax.Array,
+    caches: list[KVCache] | None,
+    offset,
+    use_flash: bool = True,
+) -> tuple[jax.Array, list[KVCache] | None]:
+    """Single-device forward. Returns (logits [B, S, V] f32, caches)."""
+    return forward_inner(
+        params, cfg, tokens, positions, caches, offset, use_flash=use_flash
+    )
 
 
 def init_caches(

@@ -50,6 +50,61 @@ def decode_step(params, cfg, token, pos, caches):
     return logits[:, -1, :], caches
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_steps", "temperature", "top_k", "eos_token_id"),
+    donate_argnames=("caches",),
+)
+def decode_loop(
+    params,
+    cfg,
+    first_token,  # [B] sampled from prefill logits
+    start_pos,  # scalar int32: position of first_token
+    caches,
+    num_steps: int,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    key: jax.Array | None = None,
+    eos_token_id: int | None = None,
+):
+    """The whole decode loop as ONE compiled program (lax.scan over steps,
+    KV caches as donated carry). This is the TPU-native decode driver: a
+    single device-side program with zero per-token host involvement — unlike
+    the reference, whose host framework re-dispatches every step
+    (`models/base.py:65-72` delegates to HF generate). Returns tokens
+    [B, num_steps] (first_token included) and the final caches."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    b = first_token.shape[0]
+    from eetq_tpu.models.transformer import forward_inner
+
+    def body(carry, i):
+        token, caches, key, finished = carry
+        key, sub = jax.random.split(key)
+        pos = (start_pos + i).astype(jnp.int32)
+        logits, caches = forward_inner(
+            params, cfg, token[:, None],
+            jnp.broadcast_to(pos, (b, 1)), caches, pos,
+        )
+        nxt = _sample(logits[:, -1, :], sub, cfg, temperature, top_k)
+        if eos_token_id is not None:
+            nxt = jnp.where(finished, eos_token_id, nxt)
+            finished = finished | (nxt == eos_token_id)
+        return (nxt, caches, key, finished), nxt
+
+    finished = (
+        first_token == eos_token_id
+        if eos_token_id is not None
+        else jnp.zeros((b,), bool)
+    )
+    (_, caches, _, _), toks = jax.lax.scan(
+        body,
+        (first_token, caches, key, finished),
+        jnp.arange(num_steps - 1, dtype=jnp.int32),
+    )
+    return jnp.concatenate([first_token[:, None], toks.T], axis=1), caches
+
+
 def generate(
     params: ModelParams,
     cfg: ModelConfig,
@@ -60,12 +115,13 @@ def generate(
     key: jax.Array | None = None,
     eos_token_id: int | None = None,
     kv_dtype=jnp.bfloat16,
+    use_scan: bool = True,
 ) -> jax.Array:
     """Returns generated tokens [B, max_new_tokens] (prompt not included).
 
-    Greedy when temperature == 0. The python-level loop drives a single
-    compiled decode step; shapes never change, so there is exactly one
-    compilation of each of (prefill, step).
+    Greedy when temperature == 0. use_scan=True (default) runs the whole
+    decode loop device-side as one compiled scan; use_scan=False streams
+    token-by-token through a single compiled decode step.
     """
     b, s = prompt.shape
     max_len = s + max_new_tokens
@@ -74,10 +130,19 @@ def generate(
         key = jax.random.PRNGKey(0)
 
     logits, caches = prefill(params, cfg, prompt, caches)
-    out = []
     key, sub = jax.random.split(key)
     token = _sample(logits, sub, cfg, temperature, top_k)
-    out.append(token)
+
+    if use_scan:
+        toks, _ = decode_loop(
+            params, cfg, token, jnp.int32(s), caches, max_new_tokens,
+            temperature=temperature, top_k=top_k, key=key,
+            eos_token_id=eos_token_id,
+        )
+        return toks
+
+    # Streaming (per-step dispatch) path — for interactive use.
+    out = [token]
     finished = None
     if eos_token_id is not None:
         finished = token == eos_token_id
