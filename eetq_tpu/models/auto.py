@@ -1,0 +1,134 @@
+"""`AutoEETQForCausalLM` — the user-facing model API.
+
+Parity with the reference's L4 (`python/eetq/models/auto.py`,
+`models/base.py`): auto-dispatch on config.model_type, from_pretrained ->
+quantize -> save_quantized -> from_quantized (the last fully implemented,
+unlike the reference's stub). Generation is owned by eetq_tpu.serve (the
+reference delegates to HF transformers.generate).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from eetq_tpu.models.config import ModelConfig
+from eetq_tpu.models.hf import (
+    _family,
+    convert_torch_model,
+    load_config,
+    load_hf_dense,
+    load_quantized,
+    save_quantized,
+)
+from eetq_tpu.models.transformer import ModelParams, forward, init_caches
+from eetq_tpu.surgery.quantize import eet_quantize
+from eetq_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+# model_type -> supported (the reference's EETQ_CAUSAL_LM_MODEL_MAP,
+# auto.py:6-10, plus mistral; chatglm remains unsupported like the
+# reference's WIP fuser)
+SUPPORTED_MODEL_TYPES = ("llama", "mistral", "gemma", "baichuan")
+
+
+@dataclasses.dataclass
+class EETQCausalLM:
+    """A (config, params) pair with the one-line workflow methods."""
+
+    cfg: ModelConfig
+    params: ModelParams
+    hf_config: dict | None = None
+
+    @property
+    def quantized(self) -> bool:
+        from eetq_tpu.modules.linear import QuantLinear
+
+        return isinstance(self.params.layers[0].qkv, QuantLinear)
+
+    def quantize(self, save_dir: str | None = None, bits: int = 8) -> "EETQCausalLM":
+        """Quantize in place (fused-projection W8A16) and optionally save.
+        The reference's `quantize(save_dir, tp)` pre-shards for per-shard
+        scales (`models/base.py:74-102`); here TP sharding happens at serve
+        time (eetq_tpu.dist.shard_model quantizes per shard)."""
+        if not self.quantized:
+            self.params = eet_quantize(self.params, bits=bits)
+        if save_dir is not None:
+            self.save_quantized(save_dir)
+        return self
+
+    def save_quantized(self, save_dir: str) -> None:
+        if not self.quantized:
+            raise ValueError("call quantize() first")
+        save_quantized(self.params, self.cfg, save_dir, hf_config=self.hf_config)
+
+    def forward(self, tokens, positions, caches=None, offset=0):
+        return forward(self.params, self.cfg, tokens, positions, caches,
+                       jnp.int32(offset))
+
+    def generate(self, prompt, max_new_tokens: int, **kw):
+        from eetq_tpu.serve import generate
+
+        return generate(self.params, self.cfg, prompt, max_new_tokens, **kw)
+
+    def init_caches(self, batch: int, max_len: int, dtype=jnp.bfloat16):
+        return init_caches(self.cfg, batch, max_len, dtype)
+
+    def shard(self, mesh=None, tp: int | None = None, dp: int = 1):
+        """Shard over a TPU mesh for runtime tensor parallelism. Requires
+        dense params (per-shard quantization happens during sharding)."""
+        from eetq_tpu.dist import make_mesh, shard_model
+
+        if self.quantized:
+            raise ValueError(
+                "shard() quantizes per-shard; start from the dense model "
+                "(from_pretrained without quantize)"
+            )
+        if mesh is None:
+            tp = tp or len(jax.devices()) // dp
+            mesh = make_mesh(tp=tp, dp=dp)
+        return shard_model(self.params, self.cfg, mesh, quantize=True)
+
+
+class AutoEETQForCausalLM:
+    """Entry point: checks config.model_type and builds the model
+    (reference `auto.py:12-32` check_and_get_model_type + dispatch)."""
+
+    @classmethod
+    def from_pretrained(
+        cls, path: str, dtype=jnp.bfloat16, quantize: bool = False
+    ) -> EETQCausalLM:
+        cfg, hf = load_config(path)
+        _check_supported(cfg)
+        cfg2, params = load_hf_dense(path, dtype=dtype)
+        model = EETQCausalLM(cfg=cfg2, params=params, hf_config=hf)
+        if quantize:
+            model.quantize()
+        return model
+
+    @classmethod
+    def from_quantized(cls, path: str, dtype=jnp.bfloat16) -> EETQCausalLM:
+        cfg, hf = load_config(path)
+        _check_supported(cfg)
+        cfg2, params = load_quantized(path, dtype=dtype)
+        return EETQCausalLM(cfg=cfg2, params=params, hf_config=hf)
+
+    @classmethod
+    def from_torch(cls, torch_model, quantize: bool = True) -> EETQCausalLM:
+        cfg, params = convert_torch_model(torch_model, quantize=quantize)
+        _check_supported(cfg)
+        return EETQCausalLM(
+            cfg=cfg, params=params, hf_config=torch_model.config.to_dict()
+        )
+
+
+def _check_supported(cfg: ModelConfig) -> None:
+    if cfg.model_type not in SUPPORTED_MODEL_TYPES:
+        raise ValueError(
+            f"model_type {cfg.model_type!r} isn't supported yet; "
+            f"supported: {SUPPORTED_MODEL_TYPES}"
+        )
+    _family(cfg.model_type)

@@ -1,0 +1,366 @@
+"""HuggingFace checkpoint interop: load fp16 checkpoints, convert live torch
+models, save/load W8A16 quantized checkpoints in the transformers-eetq
+format.
+
+Capability parity with the reference's L4 (`models/base.py:108-256`,
+`models/auto.py`), with two deliberate upgrades (SURVEY.md §5 checkpoints):
+- the saved qweight is the UNPACKED [out, in] int8 + fp16 [out] scales per
+  projection — exactly what `transformers` expects for
+  `quantization_config={"quant_method": "eetq"}` — so checkpoints are
+  portable across TPU generations and kernel layout versions (the reference
+  saves its SM-arch-specific interleaved buffer, coupling checkpoints to the
+  GPU they were made on);
+- `from_quantized` is fully implemented (the reference left it a stub,
+  `models/auto.py:34-38`, `models/base.py:258-289`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import jax.numpy as jnp
+import numpy as np
+
+from eetq_tpu.models.config import ModelConfig
+from eetq_tpu.models.transformer import LayerParams, ModelParams
+from eetq_tpu.modules.linear import DenseLinear, QuantLinear, quantize_linear
+from eetq_tpu.layout import pack_weights, unpack_weights
+from eetq_tpu.surgery.fusion import split_quant_columns
+from eetq_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+# Projection names per model family. Baichuan ships a pre-fused qkv
+# ("W_pack", rows q|k|v), which transposes directly into our fused layout.
+_FAMILY = {
+    "llama": dict(qkv=("q_proj", "k_proj", "v_proj")),
+    "mistral": dict(qkv=("q_proj", "k_proj", "v_proj")),
+    "gemma": dict(qkv=("q_proj", "k_proj", "v_proj")),
+    "baichuan": dict(qkv=("W_pack",)),
+}
+
+
+def _family(model_type: str) -> dict:
+    if model_type not in _FAMILY:
+        raise ValueError(
+            f"unsupported model_type {model_type!r}; supported: {list(_FAMILY)}"
+        )
+    return _FAMILY[model_type]
+
+
+class _TensorSource:
+    """Uniform name->numpy access over a safetensors dir or a torch
+    state_dict."""
+
+    def __init__(self, get, names):
+        self.get = get
+        self.names = set(names)
+
+    def __contains__(self, name):
+        return name in self.names
+
+    def __call__(self, name) -> np.ndarray:
+        if name not in self.names:
+            raise KeyError(name)
+        return self.get(name)
+
+
+def _source_from_dir(path: str) -> _TensorSource:
+    from safetensors import safe_open
+
+    idx_file = os.path.join(path, "model.safetensors.index.json")
+    if os.path.exists(idx_file):
+        with open(idx_file) as f:
+            weight_map = json.load(f)["weight_map"]
+        files = {}
+
+        def get(name):
+            fn = os.path.join(path, weight_map[name])
+            if fn not in files:
+                files[fn] = safe_open(fn, framework="numpy")
+            return files[fn].get_tensor(name)
+
+        return _TensorSource(get, weight_map.keys())
+    st_files = [f for f in os.listdir(path) if f.endswith(".safetensors")]
+    if not st_files:
+        raise FileNotFoundError(f"no .safetensors files in {path}")
+    handles = {f: safe_open(os.path.join(path, f), framework="numpy") for f in st_files}
+    names = {}
+    for f, h in handles.items():
+        for n in h.keys():
+            names[n] = f
+    return _TensorSource(lambda n: handles[names[n]].get_tensor(n), names.keys())
+
+
+def _source_from_torch(model) -> _TensorSource:
+    sd = model.state_dict()
+
+    def get(name):
+        t = sd[name]
+        if t.dtype.is_floating_point:
+            return t.detach().to("cpu").float().numpy()
+        return t.detach().to("cpu").numpy()
+
+    return _TensorSource(get, sd.keys())
+
+
+def _to_linear(w_t: np.ndarray, quantize: bool, bits: int, dtype):
+    """torch [out, in] -> our [in, out]; optionally quantize."""
+    w = jnp.asarray(np.ascontiguousarray(w_t.T))
+    if quantize:
+        return quantize_linear(w.astype(jnp.float32), bits=bits)
+    return DenseLinear(weight=w.astype(dtype))
+
+
+def _build_params(
+    src: _TensorSource,
+    cfg: ModelConfig,
+    quantize: bool,
+    bits: int = 8,
+    dtype=jnp.bfloat16,
+) -> ModelParams:
+    fam = _family(cfg.model_type)
+    layers = []
+    for i in range(cfg.num_layers):
+        pfx = f"model.layers.{i}"
+        attn = f"{pfx}.self_attn"
+        if len(fam["qkv"]) == 3:
+            wq = src(f"{attn}.q_proj.weight")
+            wk = src(f"{attn}.k_proj.weight")
+            wv = src(f"{attn}.v_proj.weight")
+            qkv_t = np.concatenate([wq, wk, wv], axis=0)  # [out, in]
+        else:  # baichuan W_pack: rows q|k|v already fused
+            qkv_t = src(f"{attn}.W_pack.weight")
+        gate = src(f"{pfx}.mlp.gate_proj.weight")
+        up = src(f"{pfx}.mlp.up_proj.weight")
+        gateup_t = np.concatenate([gate, up], axis=0)
+        layers.append(
+            LayerParams(
+                input_norm=jnp.asarray(
+                    src(f"{pfx}.input_layernorm.weight"), jnp.float32
+                ),
+                qkv=_to_linear(qkv_t, quantize, bits, dtype),
+                o_proj=_to_linear(src(f"{attn}.o_proj.weight"), quantize, bits, dtype),
+                post_norm=jnp.asarray(
+                    src(f"{pfx}.post_attention_layernorm.weight"), jnp.float32
+                ),
+                gateup=_to_linear(gateup_t, quantize, bits, dtype),
+                down=_to_linear(src(f"{pfx}.mlp.down_proj.weight"), quantize, bits, dtype),
+            )
+        )
+        log.debug("loaded layer %d/%d", i + 1, cfg.num_layers)
+    embed = jnp.asarray(src("model.embed_tokens.weight"), dtype)  # [V, H]
+    lm_head = None
+    if not cfg.tie_word_embeddings and "lm_head.weight" in src:
+        # lm_head stays dense (reference excludes it from quantization)
+        lm_head = DenseLinear(
+            weight=jnp.asarray(src("lm_head.weight").T.copy(), dtype)
+        )
+    final_norm = jnp.asarray(src("model.norm.weight"), jnp.float32)
+    return ModelParams(embed=embed, layers=layers, final_norm=final_norm, lm_head=lm_head)
+
+
+def load_config(path: str) -> tuple[ModelConfig, dict]:
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    return ModelConfig.from_hf_config(hf), hf
+
+
+def load_hf_dense(path: str, dtype=jnp.bfloat16) -> tuple[ModelConfig, ModelParams]:
+    """Load an fp16/bf16 HF checkpoint directory into dense params."""
+    cfg, _ = load_config(path)
+    src = _source_from_dir(path)
+    return cfg, _build_params(src, cfg, quantize=False, dtype=dtype)
+
+
+def convert_torch_model(
+    model, quantize: bool = True, bits: int = 8, dtype=jnp.bfloat16
+) -> tuple[ModelConfig, ModelParams]:
+    """Convert a live HF PyTorch *ForCausalLM (quantizing layer by layer —
+    peak memory is one dense layer, like the reference's per-layer swap)."""
+    cfg = ModelConfig.from_hf_config(model.config.to_dict())
+    src = _source_from_torch(model)
+    return cfg, _build_params(src, cfg, quantize=quantize, bits=bits, dtype=dtype)
+
+
+# ---- quantized checkpoint save/load (transformers-eetq format) ----
+
+
+def _unfuse_layer(lp: LayerParams, cfg: ModelConfig) -> dict[str, QuantLinear]:
+    """Split fused qkv/gateup back to per-projection quantized linears
+    (bit-exact along N). Dict keys are the HF projection names."""
+    fam = _family(cfg.model_type)
+    d = {}
+    if len(fam["qkv"]) == 3:
+        nq = cfg.num_heads * cfg.head_dim
+        nkv = cfg.num_kv_heads * cfg.head_dim
+        q, k, v = split_quant_columns(lp.qkv, [nq, nkv, nkv])
+        d["self_attn.q_proj"] = q
+        d["self_attn.k_proj"] = k
+        d["self_attn.v_proj"] = v
+    else:
+        d["self_attn.W_pack"] = lp.qkv
+    d["self_attn.o_proj"] = lp.o_proj
+    gate, up = split_quant_columns(lp.gateup, [cfg.intermediate_size] * 2)
+    d["mlp.gate_proj"] = gate
+    d["mlp.up_proj"] = up
+    d["mlp.down_proj"] = lp.down
+    return d
+
+
+def save_quantized(
+    params: ModelParams,
+    cfg: ModelConfig,
+    save_dir: str,
+    hf_config: dict | None = None,
+    max_shard_bytes: int = 4 * 1024**3,
+) -> None:
+    """Write an HF-format quantized checkpoint: config.json with
+    quantization_config (reference `models/base.py:108-146`) + sharded
+    safetensors of UNPACKED int8 weights [out, in] and fp16 scales [out]."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(save_dir, exist_ok=True)
+    tensors: dict[str, np.ndarray] = {}
+
+    def put_quant(name: str, ql: QuantLinear):
+        q = np.asarray(unpack_weights(ql.qweight)).T  # [out, in] int8
+        tensors[f"{name}.weight"] = np.ascontiguousarray(q)
+        tensors[f"{name}.weight_scales"] = np.asarray(
+            ql.scales, dtype=np.float16
+        )
+        if ql.bias is not None:
+            tensors[f"{name}.bias"] = np.asarray(ql.bias, np.float16)
+
+    for i, lp in enumerate(params.layers):
+        pfx = f"model.layers.{i}"
+        for proj, ql in _unfuse_layer(lp, cfg).items():
+            put_quant(f"{pfx}.{proj}", ql)
+        tensors[f"{pfx}.input_layernorm.weight"] = np.asarray(lp.input_norm, np.float16)
+        tensors[f"{pfx}.post_attention_layernorm.weight"] = np.asarray(
+            lp.post_norm, np.float16
+        )
+    tensors["model.embed_tokens.weight"] = np.asarray(params.embed, np.float16)
+    tensors["model.norm.weight"] = np.asarray(params.final_norm, np.float16)
+    if params.lm_head is not None:
+        tensors["lm_head.weight"] = np.ascontiguousarray(
+            np.asarray(params.lm_head.weight, np.float16).T
+        )
+
+    # shard by size with an index, like save_torch_state_dict
+    shards: list[dict] = [{}]
+    sizes = [0]
+    for name, arr in tensors.items():
+        if sizes[-1] + arr.nbytes > max_shard_bytes and shards[-1]:
+            shards.append({})
+            sizes.append(0)
+        shards[-1][name] = arr
+        sizes[-1] += arr.nbytes
+    if len(shards) == 1:
+        save_file(shards[0], os.path.join(save_dir, "model.safetensors"))
+    else:
+        weight_map = {}
+        for j, shard in enumerate(shards):
+            fn = f"model-{j + 1:05d}-of-{len(shards):05d}.safetensors"
+            save_file(shard, os.path.join(save_dir, fn))
+            for n in shard:
+                weight_map[n] = fn
+        with open(os.path.join(save_dir, "model.safetensors.index.json"), "w") as f:
+            json.dump(
+                {"metadata": {"total_size": sum(sizes)}, "weight_map": weight_map}, f
+            )
+
+    quant_cfg = {"quant_method": "eetq", "zero_point": False, "bits": 8}
+    hf = dict(hf_config or {})
+    hf.setdefault("model_type", cfg.model_type)
+    hf.setdefault("vocab_size", cfg.vocab_size)
+    hf.setdefault("hidden_size", cfg.hidden_size)
+    hf.setdefault("intermediate_size", cfg.intermediate_size)
+    hf.setdefault("num_hidden_layers", cfg.num_layers)
+    hf.setdefault("num_attention_heads", cfg.num_heads)
+    hf.setdefault("num_key_value_heads", cfg.num_kv_heads)
+    hf.setdefault("head_dim", cfg.head_dim)
+    hf.setdefault("max_position_embeddings", cfg.max_position)
+    hf.setdefault("rope_theta", cfg.rope_theta)
+    hf.setdefault("rms_norm_eps", cfg.rms_eps)
+    hf.setdefault("hidden_act", cfg.activation)
+    hf.setdefault("tie_word_embeddings", cfg.tie_word_embeddings)
+    if cfg.sliding_window:
+        hf.setdefault("sliding_window", cfg.sliding_window)
+    hf["quantization_config"] = quant_cfg
+    with open(os.path.join(save_dir, "config.json"), "w") as f:
+        json.dump(hf, f, indent=2)
+    # legacy side file, like the reference's EETQConfig (models/_config.py)
+    with open(os.path.join(save_dir, "quant_config.json"), "w") as f:
+        json.dump(quant_cfg, f, indent=2)
+    log.info("saved quantized checkpoint to %s (%d shards)", save_dir, len(shards))
+
+
+def load_quantized(path: str, dtype=jnp.bfloat16) -> tuple[ModelConfig, ModelParams]:
+    """Load a quantized checkpoint saved by `save_quantized` (or by
+    transformers with quant_method="eetq"). Completes the reference's
+    `from_quantized` stub."""
+    cfg, hf = load_config(path)
+    qc = hf.get("quantization_config")
+    if not qc or qc.get("quant_method") != "eetq":
+        raise ValueError(f"{path} is not an eetq quantized checkpoint: {qc}")
+    src = _source_from_dir(path)
+    fam = _family(cfg.model_type)
+
+    def get_quant(name: str) -> QuantLinear:
+        q = src(f"{name}.weight")  # [out, in] int8
+        scales = src(f"{name}.weight_scales")
+        bias = None
+        if f"{name}.bias" in src:
+            bias = jnp.asarray(src(f"{name}.bias"), dtype)
+        return QuantLinear(
+            qweight=pack_weights(jnp.asarray(np.ascontiguousarray(q.T))),
+            scales=jnp.asarray(scales, jnp.float32),
+            bias=bias,
+        )
+
+    def fuse_quant(qls: list[QuantLinear]) -> QuantLinear:
+        qs = [unpack_weights(q.qweight) for q in qls]
+        return QuantLinear(
+            qweight=pack_weights(jnp.concatenate(qs, axis=-1)),
+            scales=jnp.concatenate([q.scales for q in qls]),
+            bias=None,
+        )
+
+    layers = []
+    for i in range(cfg.num_layers):
+        pfx = f"model.layers.{i}"
+        attn = f"{pfx}.self_attn"
+        if len(fam["qkv"]) == 3:
+            qkv = fuse_quant(
+                [get_quant(f"{attn}.q_proj"), get_quant(f"{attn}.k_proj"),
+                 get_quant(f"{attn}.v_proj")]
+            )
+        else:
+            qkv = get_quant(f"{attn}.W_pack")
+        gateup = fuse_quant(
+            [get_quant(f"{pfx}.mlp.gate_proj"), get_quant(f"{pfx}.mlp.up_proj")]
+        )
+        layers.append(
+            LayerParams(
+                input_norm=jnp.asarray(src(f"{pfx}.input_layernorm.weight"), jnp.float32),
+                qkv=qkv,
+                o_proj=get_quant(f"{attn}.o_proj"),
+                post_norm=jnp.asarray(
+                    src(f"{pfx}.post_attention_layernorm.weight"), jnp.float32
+                ),
+                gateup=gateup,
+                down=get_quant(f"{pfx}.mlp.down_proj"),
+            )
+        )
+    lm_head = None
+    if not cfg.tie_word_embeddings and "lm_head.weight" in src:
+        lm_head = DenseLinear(weight=jnp.asarray(src("lm_head.weight").T.copy(), dtype))
+    return cfg, ModelParams(
+        embed=jnp.asarray(src("model.embed_tokens.weight"), dtype),
+        layers=layers,
+        final_norm=jnp.asarray(src("model.norm.weight"), jnp.float32),
+        lm_head=lm_head,
+    )

@@ -1,0 +1,3 @@
+from eetq_tpu.utils.logging import get_logger
+
+__all__ = ["get_logger"]

@@ -1,0 +1,136 @@
+"""HF interop: parity of our forward vs transformers' PyTorch llama on the
+same weights, checkpoint save/load roundtrips, torch-model conversion, and
+the one-line accelerate path."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from transformers import LlamaConfig, LlamaForCausalLM
+
+from eetq_tpu.models.auto import AutoEETQForCausalLM
+from eetq_tpu.models.hf import load_hf_dense, load_quantized, save_quantized
+from eetq_tpu.models.transformer import forward
+from eetq_tpu.surgery import eet_accelerator
+
+
+@pytest.fixture(scope="module")
+def torch_llama():
+    torch.manual_seed(0)
+    cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+        rms_norm_eps=1e-5,
+    )
+    model = LlamaForCausalLM(cfg).eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def hf_dir(torch_llama, tmp_path_factory):
+    d = tmp_path_factory.mktemp("hf_llama")
+    torch_llama.save_pretrained(d, safe_serialization=True)
+    return str(d)
+
+
+def test_forward_parity_with_transformers(torch_llama, hf_dir, rng):
+    """THE parity test: our JAX forward on an HF checkpoint must match the
+    PyTorch reference model's logits (bf16-activation tolerance)."""
+    cfg, params = load_hf_dense(hf_dir, dtype=jnp.float32)
+    tokens_np = rng.integers(0, 128, size=(2, 10))
+    with torch.no_grad():
+        ref = torch_llama(torch.tensor(tokens_np)).logits.numpy()
+
+    tokens = jnp.asarray(tokens_np, jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(10, dtype=jnp.int32), (2, 10))
+    logits, _ = forward(params, cfg, tokens, pos, None, 0, use_flash=False)
+    ours = np.asarray(logits)
+
+    assert (ours.argmax(-1) == ref.argmax(-1)).mean() > 0.95
+    np.testing.assert_allclose(ours, ref, rtol=5e-2, atol=5e-2)
+
+
+def test_quantized_roundtrip_bit_exact(hf_dir, rng, tmp_path):
+    """quantize -> save_quantized -> from_quantized must reproduce logits
+    bit-exactly (unpacked-int8 checkpoint format is lossless)."""
+    model = AutoEETQForCausalLM.from_pretrained(hf_dir, quantize=True)
+    save_dir = str(tmp_path / "quantized")
+    model.save_quantized(save_dir)
+
+    model2 = AutoEETQForCausalLM.from_quantized(save_dir)
+    tokens = jnp.asarray(rng.integers(0, 128, (1, 8)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32), (1, 8))
+    l1, _ = model.forward(tokens, pos)
+    l2, _ = model2.forward(tokens, pos)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+    # config.json carries the HF-compatible quantization_config
+    with open(os.path.join(save_dir, "config.json")) as f:
+        saved_cfg = json.load(f)
+    assert saved_cfg["quantization_config"] == {
+        "quant_method": "eetq",
+        "zero_point": False,
+        "bits": 8,
+    }
+    assert os.path.exists(os.path.join(save_dir, "quant_config.json"))
+
+
+def test_from_quantized_rejects_plain_checkpoint(hf_dir):
+    with pytest.raises(ValueError, match="not an eetq quantized"):
+        load_quantized(hf_dir)
+
+
+def test_from_torch_conversion(torch_llama, rng):
+    model = AutoEETQForCausalLM.from_torch(torch_llama, quantize=True)
+    assert model.quantized
+    tokens_np = rng.integers(0, 128, size=(1, 6))
+    with torch.no_grad():
+        ref = torch_llama(torch.tensor(tokens_np)).logits.numpy()
+    tokens = jnp.asarray(tokens_np, jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(6, dtype=jnp.int32), (1, 6))
+    logits, _ = model.forward(tokens, pos)
+    ours = np.asarray(logits)
+    # quantized + bf16: looser tolerance, argmax agreement
+    assert (ours.argmax(-1) == ref.argmax(-1)).mean() > 0.8
+    assert np.abs(ours - ref).mean() < 0.2
+
+
+def test_eet_accelerator_one_liner(torch_llama):
+    cfg, params = None, None
+    out = eet_accelerator(torch_llama, quantize=True, fused_attn=True)
+    cfg, params = out
+    assert cfg.model_type == "llama"
+    from eetq_tpu.modules.linear import QuantLinear
+
+    assert isinstance(params.layers[0].qkv, QuantLinear)
+
+
+def test_generate_through_auto_api(hf_dir, rng):
+    model = AutoEETQForCausalLM.from_pretrained(hf_dir, quantize=True)
+    prompt = jnp.asarray(rng.integers(0, 128, (1, 5)), jnp.int32)
+    out = model.generate(prompt, max_new_tokens=4)
+    assert out.shape == (1, 4)
+
+
+def test_unsupported_model_type(tmp_path):
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps({
+        "model_type": "gpt_bigcode", "vocab_size": 8, "hidden_size": 8,
+        "intermediate_size": 8, "num_hidden_layers": 1,
+        "num_attention_heads": 1,
+    }))
+    with pytest.raises(ValueError, match="isn't supported"):
+        AutoEETQForCausalLM.from_pretrained(str(d))
