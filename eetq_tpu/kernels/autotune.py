@@ -63,23 +63,33 @@ def choose_config(m: int, kp: int, np_: int) -> MatmulConfig:
     assert kp % DEFAULT_LAYOUT.k_tile == 0 and np_ % g == 0, (m, kp, np_)
 
     if m <= MAX_DECODE_M:
-        # Decode GEMV regime: weight-bandwidth-bound. Whole-K blocks (no
-        # accumulator carry, weight streamed exactly once), bn sized to fill
-        # the DMA pipe while fitting VMEM double-buffered. bm=16 = the bf16
-        # sublane tile, so the (tiny) activation block is never sub-tile.
-        bm = 16
-        for bn in (512, 256):
-            if np_ % bn == 0:
-                cfg = MatmulConfig(bm=bm, bn=bn, bk=kp)
-                if cfg.vmem_bytes() <= VMEM_BUDGET_BYTES:
-                    return cfg
-        # Very large K: split K instead.
-        for bk in (8192, 4096, 2048, 1024, 512, 256):
-            if kp % bk == 0:
-                cfg = MatmulConfig(bm=bm, bn=256, bk=bk)
-                if cfg.vmem_bytes() <= VMEM_BUDGET_BYTES:
-                    return cfg
-        return MatmulConfig(bm=bm, bn=256, bk=256)
+        # Decode GEMV regime: weight-bandwidth-bound. Measured on v5e
+        # (scripts/microbench_gemv.py, llama2-7b decode shapes): ~1 MiB int8
+        # weight blocks with a tall-K aspect stream at 750-900 GB/s
+        # (~peak), while whole-K bn=512 blocks drop as low as 434 GB/s.
+        # Rule: bm=8 (smallest sublane tile — x is tiny), bn=256 (two lane
+        # tiles), bk = largest divisor of Kp with bk*bn <= ~1.5 MiB.
+        bm = 8
+        bn = 256
+        kt = DEFAULT_LAYOUT.k_tile
+        divisors = [d for d in range(kt, kp + 1, kt) if kp % d == 0]
+        # Largest divisor in the sweet band [2048, 6144] (bk=4096 measured
+        # 755-839 GB/s vs 632-707 at bk=2048); else the smallest divisor
+        # above it that fits VMEM (a big block still streams near peak —
+        # e.g. whole-K 11008x256 = 2.8 MiB measured 766 GB/s — while tiny
+        # bk thrashes the pipeline).
+        in_band = [d for d in divisors if 2048 <= d <= 6144]
+        if in_band:
+            return MatmulConfig(bm=bm, bn=bn, bk=in_band[-1])
+        above = [
+            d
+            for d in divisors
+            if d > 6144
+            and MatmulConfig(bm, bn, d).vmem_bytes() <= VMEM_BUDGET_BYTES
+        ]
+        if above:
+            return MatmulConfig(bm=bm, bn=bn, bk=above[0])
+        return MatmulConfig(bm=bm, bn=bn, bk=divisors[-1] if divisors else kt)
 
     # Prefill GEMM regime: MXU-bound. Large square-ish blocks, deep-K.
     best = None

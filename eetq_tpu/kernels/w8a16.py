@@ -1,4 +1,4 @@
-"""Fused dequant + matmul Pallas kernels: the W8A16 hot path.
+"""Fused dequant + matmul Pallas kernels: the W8A16 / W4A16 hot path.
 
 One kernel template serves both regimes the reference implements as two
 separate CUDA code bases (~4k LoC):
@@ -9,15 +9,32 @@ separate CUDA code bases (~4k LoC):
   (`csrc/weightOnlyBatchedGemv/kernel.h`).
 
 On TPU the two regimes differ only in block configuration (chosen by
-`eetq_tpu.kernels.autotune`): the decode config uses whole-K weight blocks so
-the int8 weight streams from HBM exactly once at full bandwidth, while the
-prefill config uses large square output tiles that keep the MXU fed. Pallas'
-grid pipeline replaces the hand-written cp.async multistage pipelining
-(`dq_mma_multistage.h`), and the MXU consumes bf16 directly, so "dequant" is
-an in-register int8->bf16 convert with the per-channel scale applied ONCE to
-the f32 accumulator at the last K step (scales commute with the K-sum — the
-same invariant the reference maintains with its warp-level dequantizer,
-`mma_tensorop_dequantizer.h:152-183`, just hoisted out of the inner loop).
+`eetq_tpu.kernels.autotune`): the decode config streams ~1 MiB tall-K int8
+blocks at full HBM bandwidth, the prefill config uses large square output
+tiles that keep the MXU fed. Pallas' grid pipeline replaces the hand-written
+cp.async multistage pipelining (`dq_mma_multistage.h`); the MXU consumes
+bf16 directly, so "dequant" is an in-register int->bf16 convert with the
+per-channel scale applied ONCE to the f32 accumulator at the last K step
+(scales commute with the K-sum — the invariant the reference maintains with
+its warp-level dequantizer, `mma_tensorop_dequantizer.h:152-183`, hoisted
+out of the inner loop).
+
+Quantization granularities (the reference GEMV's PerChannel vs
+GroupWise(64/128), `weightOnlyBatchedGemv/common.h:62-105`):
+- per-channel: scales [N], applied once to the final accumulator (exact);
+- group-wise: scales [G, N] with group size g = K/G along K. When
+  bk % g == 0 the kernel runs an unrolled subgroup loop applying each
+  group's scale to that subgroup's f32 partial dot (exact); when
+  g % bk == 0 the scale row is constant per block.
+
+Weight dtypes (the reference's Int8b/Int4b kernels):
+- int8: packed [Kp, Np];
+- int4: split-half nibble packing [Kp/2, Np] — element (i, n) holds
+  q[i, n] in the low nibble and q[i + Kp/2, n] in the high nibble. The
+  kernel fetches TWO x blocks per k-step (k and k + nk) and issues two
+  MXU dots; sign-extension is two arithmetic shifts. This avoids any
+  in-kernel row interleave (the TPU analogue of why the reference packs
+  offline for its ldmatrix layout, `cutlass_preprocessors.cc:337-358`).
 
 Epilogue fusion (bias, relu/gelu/silu, residual add/mul) mirrors
 `gemm_bias_act` / `gemm_bias_act_residual`
@@ -59,18 +76,65 @@ class Epilogue:
             raise ValueError(f"unknown residual mode {self.residual!r}")
 
 
-def _kernel_body(nk: int, epilogue: Epilogue, out_dtype, *refs):
-    if epilogue.has_bias and epilogue.residual:
-        x_ref, w_ref, s_ref, b_ref, r_ref, out_ref, acc_ref = refs
-    elif epilogue.has_bias:
-        x_ref, w_ref, s_ref, b_ref, out_ref, acc_ref = refs
-        r_ref = None
-    elif epilogue.residual:
-        x_ref, w_ref, s_ref, r_ref, out_ref, acc_ref = refs
-        b_ref = None
+def _dot_scaled(x_blk, w_blk, s_ref, g: int | None, row_base, acc_ref, dtype):
+    """acc += x @ dequant(w) for one (possibly int4-half) weight block.
+
+    x_blk [bm, bk], w_blk int8 [bk, bn] (already sign-extended values).
+    s_ref is None (per-channel, scale applied once in the epilogue) or a
+    VMEM ref holding ALL group-scale rows for this column block ([Gp, bn]);
+    row_base is the (traced) scale row of this block's first K element.
+    Group scales are ALWAYS applied in-loop to the f32 partial dot — exact,
+    and correct across blocks with different scale rows.
+    """
+    w = w_blk.astype(dtype)
+    if s_ref is None:
+        acc_ref[:] += jnp.dot(x_blk, w, preferred_element_type=jnp.float32)
+        return
+    bk = w_blk.shape[0]
+    if g >= bk:
+        # group spans >= 1 whole blocks: one scale row for the block
+        part = jnp.dot(x_blk, w, preferred_element_type=jnp.float32)
+        s_row = s_ref[pl.ds(row_base, 1), :]
+        acc_ref[:] += part * s_row.astype(jnp.float32)
+        return
+    for t in range(bk // g):
+        part = jnp.dot(
+            x_blk[:, t * g : (t + 1) * g],
+            w[t * g : (t + 1) * g, :],
+            preferred_element_type=jnp.float32,
+        )
+        s_row = s_ref[pl.ds(row_base + t, 1), :]
+        acc_ref[:] += part * s_row.astype(jnp.float32)
+
+
+def _kernel_body(
+    nk: int,
+    epilogue: Epilogue,
+    out_dtype,
+    bits: int,
+    group_in_loop: int | None,  # g when scales applied inside the k-loop
+    *refs,
+):
+    """Grid (nm, nn, nk). Ref order:
+    int8: x, w, s, [s_hi?], [bias], [residual], out, acc
+    int4: x_lo, x_hi, w, s_lo, [s_hi], [bias], [residual], out, acc
+    For int4 + group-in-loop, s_lo/s_hi are the group-scale blocks of the
+    low/high K halves; otherwise s_hi is absent.
+    """
+    refs = list(refs)
+    acc_ref = refs.pop()
+    out_ref = refs.pop()
+    if bits == 4:
+        x_lo_ref, x_hi_ref, w_ref = refs[:3]
+        refs = refs[3:]
     else:
-        x_ref, w_ref, s_ref, out_ref, acc_ref = refs
-        b_ref = r_ref = None
+        x_lo_ref, w_ref = refs[:2]
+        x_hi_ref = None
+        refs = refs[2:]
+    s_ref = refs.pop(0)
+    b_ref = refs.pop(0) if epilogue.has_bias else None
+    r_ref = refs.pop(0) if epilogue.residual else None
+    assert not refs
 
     k = pl.program_id(2)
 
@@ -78,14 +142,31 @@ def _kernel_body(nk: int, epilogue: Epilogue, out_dtype, *refs):
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # int8 -> activation dtype is exact (|q| <= 128 fits bf16's 8-bit
-    # mantissa); MXU matmul in bf16 with f32 accumulation.
-    w = w_ref[:].astype(x_ref.dtype)
-    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    g = group_in_loop
+    dtype = x_lo_ref.dtype
+    bk = w_ref.shape[0]
+    s_in = None if g is None else s_ref
+    row_base = None if g is None else (k * bk) // g
+    if bits == 4:
+        # Mosaic has no int8 vector shifts; widen to i32 (native lane
+        # width), sign-extend the nibbles there. int4 values |q| <= 8 are
+        # exact in bf16.
+        w32 = w_ref[:].astype(jnp.int32)
+        lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(w32, 28), 28)
+        hi = jax.lax.shift_right_arithmetic(w32, 4)
+        _dot_scaled(x_lo_ref[:], lo, s_in, g, row_base, acc_ref, dtype)
+        # high-half logical rows start at nk * bk
+        hi_base = None if g is None else ((k + nk) * bk) // g
+        _dot_scaled(x_hi_ref[:], hi, s_in, g, hi_base, acc_ref, dtype)
+    else:
+        _dot_scaled(x_lo_ref[:], w_ref[:], s_in, g, row_base, acc_ref, dtype)
 
     @pl.when(k == nk - 1)
     def _epilogue():
-        r = acc_ref[:] * s_ref[:].astype(jnp.float32)  # per-channel dequant
+        r = acc_ref[:]
+        if g is None:
+            # per-channel: the single hoisted scale multiply
+            r = r * s_ref[:].astype(jnp.float32)
         if b_ref is not None:
             r = r + b_ref[:].astype(jnp.float32)
         r = _ACTIVATIONS[epilogue.activation](r)
@@ -97,7 +178,7 @@ def _kernel_body(nk: int, epilogue: Epilogue, out_dtype, *refs):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "epilogue", "interpret"),
+    static_argnames=("config", "epilogue", "bits", "group_size", "interpret"),
 )
 def w8a16_matmul_kernel_call(
     x: jax.Array,
@@ -108,28 +189,69 @@ def w8a16_matmul_kernel_call(
     config: MatmulConfig,
     epilogue: Epilogue,
     interpret: bool = False,
+    bits: int = 8,
+    group_size: int | None = None,
 ) -> jax.Array:
     """Raw kernel invocation on pre-padded operands.
 
     x: [Mp, Kp] (Mp % bm == 0, Kp % bk == 0), float
-    w_packed_data: [Kp, Np] int8 (PackedWeight.data)
-    scales: [Np] float
-    bias: [Np] or None; residual: [Mp, Np] or None
+    w_packed_data: int8 [Kp, Np] (bits=8) or [Kp/2, Np] (bits=4 split-half)
+    scales: [1, Np] (per-channel) or [G, Np] (group-wise, g = Kp/G)
+    bias: [1, Np] or None; residual: [Mp, Np] or None
     Returns [Mp, Np] in x.dtype.
     """
     mp, kp = x.shape
-    kp2, np_ = w_packed_data.shape
-    assert kp == kp2, (x.shape, w_packed_data.shape)
+    np_ = w_packed_data.shape[-1]
+    if bits == 4:
+        assert w_packed_data.shape[0] * 2 == kp, (x.shape, w_packed_data.shape)
+    else:
+        assert w_packed_data.shape[0] == kp, (x.shape, w_packed_data.shape)
     bm, bn, bk = config.bm, config.bn, config.bk
-    assert mp % bm == 0 and np_ % bn == 0 and kp % bk == 0, (x.shape, config)
-    nm, nn, nk = mp // bm, np_ // bn, kp // bk
+    # bk counts PACKED weight rows per block; for int4 each block covers
+    # bk low-half + bk high-half logical rows, fetched as two x blocks.
+    kp_data = w_packed_data.shape[0]
+    assert mp % bm == 0 and np_ % bn == 0 and kp_data % bk == 0, (
+        x.shape,
+        w_packed_data.shape,
+        config,
+    )
+    nm, nn, nk = mp // bm, np_ // bn, kp_data // bk
 
-    in_specs = [
-        pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
-        pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
-        pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
-    ]
-    operands = [x, w_packed_data, scales.reshape(1, np_)]
+    if scales.ndim == 1:
+        scales = scales.reshape(1, np_)
+    group_in_loop = None
+    s_rows = scales.shape[0]
+    if s_rows > 1:
+        g = kp // s_rows
+        if not (bk % g == 0 or g % bk == 0):
+            raise ValueError(
+                f"group size {g} incompatible with bk {bk}: need bk % g == 0 "
+                f"or g % bk == 0"
+            )
+        if bits == 4 and bk % g != 0:
+            raise ValueError("int4 group-wise requires bk % group == 0")
+        group_in_loop = g
+
+    in_specs = [pl.BlockSpec((bm, bk), lambda i, j, k: (i, k))]
+    operands: list[jax.Array] = [x]
+    if bits == 4:
+        in_specs.append(pl.BlockSpec((bm, bk), lambda i, j, k, nk=nk: (i, k + nk)))
+        operands.append(x)
+    in_specs.append(pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)))
+    operands.append(w_packed_data)
+
+    # scale blocks: per-channel gets the (1, bn) row; group-wise keeps ALL
+    # scale rows resident (rows are tiny; full-dim blocks are exempt from
+    # the (8, 128) min-tile rule) and the kernel dynamic-slices its row.
+    if group_in_loop is not None:
+        in_specs.append(
+            pl.BlockSpec((s_rows, bn), lambda i, j, k: (0, j))
+        )
+        operands.append(scales)
+    else:
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k: (0, j)))
+        operands.append(scales)
+
     if epilogue.has_bias:
         assert bias is not None
         in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k: (0, j)))
@@ -139,11 +261,14 @@ def w8a16_matmul_kernel_call(
         in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)))
         operands.append(residual)
 
-    kernel = functools.partial(_kernel_body, nk, epilogue, x.dtype)
+    kernel = functools.partial(
+        _kernel_body, nk, epilogue, x.dtype, bits, group_in_loop
+    )
     x_bytes = x.dtype.itemsize
+    w_bytes = kp_data * np_
     cost = pl.CostEstimate(
         flops=2 * mp * np_ * kp,
-        bytes_accessed=mp * kp * x_bytes + kp * np_ + mp * np_ * x_bytes + np_ * 4,
+        bytes_accessed=mp * kp * x_bytes + w_bytes + mp * np_ * x_bytes + np_ * 4,
         transcendentals=0,
     )
     return pl.pallas_call(
@@ -172,13 +297,31 @@ def w8a16_matmul_ref(
 ) -> jax.Array:
     """Pure-jnp reference implementation (testing oracle + CPU fallback).
 
-    Matches the kernel bit-for-bit in f32: bf16 dequantized matmul with f32
-    accumulation, scale applied to the accumulator.
+    qweight: logical int8 [K, N] (int4 values sign-extended to int8).
+    scales: [N] per-channel or [G, N] group-wise.
+    Per-channel matches the kernel bit-for-bit in f32 (bf16 dequantized
+    matmul, f32 accumulation, scale on the accumulator); group-wise applies
+    each group's scale to that group's f32 partial sum, like the kernel.
     """
-    acc = jnp.dot(
-        x, qweight.astype(x.dtype), preferred_element_type=jnp.float32
-    )
-    r = acc * scales.astype(jnp.float32)[None, :]
+    if scales.ndim == 1:
+        acc = jnp.dot(
+            x, qweight.astype(x.dtype), preferred_element_type=jnp.float32
+        )
+        r = acc * scales.astype(jnp.float32)[None, :]
+    else:
+        kdim, n = qweight.shape
+        gcount = scales.shape[0]
+        g = kdim // gcount
+        xg = x.reshape(*x.shape[:-1], gcount, g)
+        wg = qweight.reshape(gcount, g, n)
+        # [..., G, N] partial dots, scaled per group, summed in f32
+        parts = jnp.einsum(
+            "...gk,gkn->...gn",
+            xg,
+            wg.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        r = jnp.sum(parts * scales.astype(jnp.float32), axis=-2)
     if bias is not None:
         r = r + bias.astype(jnp.float32)[None, :]
     r = _ACTIVATIONS[activation](r)

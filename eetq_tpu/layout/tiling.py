@@ -90,30 +90,58 @@ class PackedWeight:
 
     @property
     def kp(self) -> int:
-        return self.data.shape[-2]
+        """Logical padded K (int4 data rows each pack two logical rows)."""
+        rows = self.data.shape[-2]
+        return rows * 2 if self.bits == 4 else rows
 
     @property
     def np(self) -> int:
         return self.data.shape[-1]
 
 
-def pack_weights(qweight: jax.Array, layout: TileLayout = DEFAULT_LAYOUT) -> PackedWeight:
+def pack_weights(
+    qweight: jax.Array, layout: TileLayout = DEFAULT_LAYOUT, bits: int = 8
+) -> PackedWeight:
     """Repack an unprocessed int8 [K, N] (or [E, K, N]) weight to kernel layout.
 
     The analogue of the reference's `preprocess_weights`
     (`csrc/eetpy.cpp:11-13` → `cutlass_preprocessors.cc:497-534`): offline,
     one-time, before serving. Returns a PackedWeight consumed by
     eetq_tpu.kernels.
+
+    bits=8: zero-pad to (k_tile, n_tile) granules, stored row-major [Kp, Np].
+    bits=4 (values in [-8, 7] held one-per-int8): split-half nibble packing
+    [Kp/2, Np] — element (i, n) packs logical row i in the low nibble and
+    row i + Kp/2 in the high nibble, so the kernel needs no in-register row
+    interleave (see eetq_tpu/kernels/w8a16.py). K is padded so each half is
+    a whole number of k_tiles.
     """
     if qweight.dtype != jnp.int8:
         raise TypeError(f"pack_weights expects int8, got {qweight.dtype}")
     if qweight.ndim not in (2, 3):
         raise ValueError(f"weight must be 2-D or 3-D, got {qweight.shape}")
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
     k, n = qweight.shape[-2], qweight.shape[-1]
     padded = pad_axis_to(pad_axis_to(qweight, -1, layout.n_tile), -2, layout.k_tile)
-    return PackedWeight(data=padded, k=k, n=n, version=layout.version)
+    if bits == 4:
+        padded = pad_axis_to(padded, -2, 2 * layout.k_tile)
+        half = padded.shape[-2] // 2
+        lo = padded[..., :half, :].astype(jnp.uint8) & 0x0F
+        hi = padded[..., half:, :].astype(jnp.uint8) << 4
+        padded = (lo | hi).astype(jnp.int8)
+    return PackedWeight(data=padded, k=k, n=n, bits=bits, version=layout.version)
 
 
 def unpack_weights(packed: PackedWeight) -> jax.Array:
-    """Exact inverse of :func:`pack_weights` — recover the logical [K, N] int8."""
+    """Exact inverse of :func:`pack_weights` — recover the logical [K, N]
+    int8 (int4 values sign-extended, one per int8)."""
+    if packed.bits == 4:
+        p = packed.data.astype(jnp.uint8)
+        lo = (p & 0x0F).astype(jnp.int8)
+        hi = (p >> 4).astype(jnp.int8)
+        lo = jnp.where(lo >= 8, lo - 16, lo)
+        hi = jnp.where(hi >= 8, hi - 16, hi)
+        full = jnp.concatenate([lo, hi], axis=-2)
+        return full[..., : packed.k, : packed.n]
     return packed.data[..., : packed.k, : packed.n]

@@ -78,10 +78,14 @@ def quantize_linear(
     weight: jax.Array,
     bias: jax.Array | None = None,
     bits: int = 8,
+    group_size: int | None = None,
     external_scales: jax.Array | None = None,
 ) -> QuantLinear:
     """Build a QuantLinear from a float [K, N] weight.
 
+    bits: 8 (W8A16) or 4 (W4A16, nibble-packed storage).
+    group_size: None for per-channel scales; an int g for group-wise
+      scales [K/g, N] (reference GEMV GroupWise(64/128) mode).
     external_scales supports the bitsandbytes import path (reference
     `utils/quantizer.py:23-25`: already-int8 weights with scales = SCB/127) —
     pass pre-quantized int8 `weight` plus its scales and it is repacked
@@ -91,12 +95,14 @@ def quantize_linear(
         if external_scales is None:
             raise ValueError("int8 weight requires external_scales")
         return QuantLinear(
-            qweight=pack_weights(weight), scales=external_scales, bias=bias
+            qweight=pack_weights(weight, bits=bits),
+            scales=external_scales,
+            bias=bias,
         )
     if external_scales is not None:
         raise ValueError("external_scales only valid with int8 weight")
-    q, s = symmetric_quantize(weight, bits=bits)
-    return QuantLinear(qweight=pack_weights(q), scales=s, bias=bias)
+    q, s = symmetric_quantize(weight, bits=bits, group_size=group_size)
+    return QuantLinear(qweight=pack_weights(q, bits=bits), scales=s, bias=bias)
 
 
 def init_only_linear(k: int, n: int, with_bias: bool = False) -> QuantLinear:

@@ -7,6 +7,10 @@ m <= 4) and the prefill tiled-GEMM regime — here both are one Pallas kernel
 with different autotuned block configs. Unlike the reference (which re-runs
 its occupancy heuristic every call), the config choice is cached per shape
 and jit caches the compiled kernel.
+
+Supports int8 and int4 weights (the reference's Int8b/Int4b GEMV kernels),
+per-channel [N] or group-wise [K/g, N] scales (PerChannel / GroupWise
+quant modes, `weightOnlyBatchedGemv/common.h:73-79`).
 """
 
 from __future__ import annotations
@@ -18,7 +22,7 @@ import jax.numpy as jnp
 
 from eetq_tpu.kernels.autotune import MatmulConfig, choose_config
 from eetq_tpu.kernels.w8a16 import Epilogue, w8a16_matmul_kernel_call, w8a16_matmul_ref
-from eetq_tpu.layout import PackedWeight, pack_weights
+from eetq_tpu.layout import PackedWeight, pack_weights, unpack_weights
 
 
 def _default_interpret() -> bool:
@@ -28,12 +32,13 @@ def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _ref_forward(x2, qdata, k, n, scales, bias, residual, activation, residual_mode):
-    """jnp dequant-matmul path on the packed (padded) weight buffer."""
+def _ref_forward(x2, qw_logical, k, n, scales, bias, residual, activation,
+                 residual_mode):
+    """jnp dequant-matmul oracle on the logical weight."""
     return w8a16_matmul_ref(
         x2,
-        qdata[:k, :n],
-        scales[:n],
+        qw_logical,
+        scales,
         bias=bias,
         activation=activation,
         residual=residual,
@@ -41,22 +46,34 @@ def _ref_forward(x2, qdata, k, n, scales, bias, residual, activation, residual_m
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def _w8a16_matmul_core(
     x2, qdata, scales, bias, residual,
-    k, n, activation, residual_mode, config, interpret, use_kernel,
+    k, n, bits, activation, residual_mode, config, interpret, use_kernel,
 ):
+    """qdata: PackedWeight.data (padded, int4 nibble-packed); scales are
+    LOGICAL ([N] or [K/g, N])."""
     if not use_kernel:
+        qw = unpack_weights(PackedWeight(data=qdata, k=k, n=n, bits=bits))
         return _ref_forward(
-            x2, qdata, k, n, scales, bias, residual, activation, residual_mode
+            x2, qw, k, n, scales, bias, residual, activation, residual_mode
         )
     m = x2.shape[0]
-    kp, np_ = qdata.shape
+    kp = qdata.shape[0] * (2 if bits == 4 else 1)
+    np_ = qdata.shape[1]
     mp = -(-m // config.bm) * config.bm
     # Zero-padding is exact: padded x columns multiply padded (zero) weight
     # rows, and padded output rows/cols are sliced off.
     xp = jnp.pad(x2, ((0, mp - m), (0, kp - k)))
-    scales_p = jnp.pad(scales, (0, np_ - n)).astype(jnp.float32)
+    if scales.ndim == 1:
+        scales_p = jnp.pad(scales, (0, np_ - n)).astype(jnp.float32)
+    else:
+        gcount = scales.shape[0]
+        g = k // gcount
+        gp = kp // g  # padded group rows (zero weight rows -> any scale)
+        scales_p = jnp.pad(
+            scales.astype(jnp.float32), ((0, gp - gcount), (0, np_ - n))
+        )
     bias_p = None if bias is None else jnp.pad(bias, (0, np_ - n))
     res_p = None
     if residual is not None:
@@ -67,7 +84,8 @@ def _w8a16_matmul_core(
         residual=None if residual is None else residual_mode,
     )
     out = w8a16_matmul_kernel_call(
-        xp, qdata, scales_p, bias_p, res_p, config, epilogue, interpret
+        xp, qdata, scales_p, bias_p, res_p, config, epilogue, interpret,
+        bits=bits,
     )
     return out[:m, :n]
 
@@ -77,8 +95,8 @@ def _core_fwd(x2, qdata, scales, bias, residual, *statics):
     return out, (x2, qdata, scales, bias, residual)
 
 
-def _core_bwd(k, n, activation, residual_mode, config, interpret, use_kernel,
-              saved, g):
+def _core_bwd(k, n, bits, activation, residual_mode, config, interpret,
+              use_kernel, saved, g):
     """Backward for LoRA-over-frozen-quantized training (the reference's
     hand-written `EetqLinearMMFunction.backward`, qlinear.py:64-94, which
     dequantizes W and computes grad_input). Here we differentiate the jnp
@@ -87,14 +105,39 @@ def _core_bwd(k, n, activation, residual_mode, config, interpret, use_kernel,
     x2, qdata, scales, bias, residual = saved
     _, vjp = jax.vjp(
         lambda xx, qq, ss, bb, rr: _ref_forward(
-            xx, qq, k, n, ss, bb, rr, activation, residual_mode
+            xx,
+            unpack_weights(PackedWeight(data=qq, k=k, n=n, bits=bits)),
+            k, n, ss, bb, rr, activation, residual_mode,
         ),
         x2, qdata, scales, bias, residual,
     )
+    # int8 qdata gets a float0 cotangent automatically (frozen weights)
     return vjp(g)
 
 
 _w8a16_matmul_core.defvjp(_core_fwd, _core_bwd)
+
+
+def _compatible_config(
+    config: MatmulConfig, kp_data: int, group_size: int | None, bits: int
+) -> MatmulConfig:
+    """Shrink bk if needed so the group constraint holds (bk % g == 0 or
+    g % bk == 0; int4 requires bk % g == 0)."""
+    g = group_size
+    if g is None:
+        return config
+    # bk counts packed weight rows; for int4 each half-block covers bk
+    # LOGICAL rows, so the group constraint is in logical units either way.
+    bk = config.bk
+    if bk % g == 0 or (bits != 4 and g % bk == 0):
+        return config
+    # largest multiple of g that divides kp_data and is <= bk
+    cand = (bk // g) * g
+    while cand >= g:
+        if kp_data % cand == 0:
+            return MatmulConfig(bm=config.bm, bn=config.bn, bk=cand)
+        cand -= g
+    return MatmulConfig(bm=config.bm, bn=config.bn, bk=g)
 
 
 def w8a16_matmul(
@@ -108,27 +151,44 @@ def w8a16_matmul(
     config: MatmulConfig | None = None,
     interpret: bool | None = None,
     use_kernel: bool = True,
+    bits: int = 8,
 ) -> jax.Array:
-    """out = act(x @ (qweight * scales) + bias) [+|*] residual.
+    """out = act(x @ dequant(qweight, scales) + bias) [+|*] residual.
 
     Args:
       x: [..., K] float (bf16 recommended).
       qweight: PackedWeight (preferred; pack once offline) or raw int8 [K, N]
-        (packed on the fly — convenient but repads per call).
-      scales: [N] per-output-channel scales.
+        one-value-per-int8 (packed on the fly — convenient but repads per
+        call; pass `bits=4` for int4 values).
+      scales: [N] per-output-channel or [K/g, N] group-wise scales.
       bias: optional [N].
       activation: None | "relu" | "gelu" | "silu" (fused epilogue).
       residual: optional [..., N] fused residual; residual_mode "add"|"mul".
       config: override the autotuned block config.
       interpret: force Pallas interpret mode (defaults to True off-TPU).
       use_kernel: False -> pure-jnp reference path (testing).
+      bits: weight bit-width when passing a raw int8 array (ignored for
+        PackedWeight, which knows its own).
     """
     if not isinstance(qweight, PackedWeight):
-        qweight = pack_weights(qweight)
+        qweight = pack_weights(qweight, bits=bits)
+    bits = qweight.bits
     k, n = qweight.k, qweight.n
     *lead, xk = x.shape
     if xk != k:
         raise ValueError(f"x feature dim {xk} != weight K {k}")
+    group_size = None
+    if scales.ndim == 2:
+        if k % scales.shape[0]:
+            raise ValueError(
+                f"scale rows {scales.shape[0]} must divide K {k}"
+            )
+        group_size = k // scales.shape[0]
+        if qweight.kp % group_size:
+            raise ValueError(
+                f"group size {group_size} must divide padded K {qweight.kp} "
+                f"(pad K to a group multiple before packing)"
+            )
     m = 1
     for d in lead:
         m *= d
@@ -136,12 +196,15 @@ def w8a16_matmul(
     res2 = None if residual is None else residual.reshape(m, n)
 
     if config is None:
-        config = choose_config(m, qweight.kp, qweight.np)
+        config = choose_config(m, qweight.data.shape[-2], qweight.np)
+    config = _compatible_config(
+        config, qweight.data.shape[-2], group_size, bits
+    )
     if interpret is None:
         interpret = _default_interpret()
 
     out = _w8a16_matmul_core(
         x2, qweight.data, scales, bias, res2,
-        k, n, activation, residual_mode, config, interpret, use_kernel,
+        k, n, bits, activation, residual_mode, config, interpret, use_kernel,
     )
     return out.reshape(*lead, n)

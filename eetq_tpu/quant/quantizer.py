@@ -33,37 +33,55 @@ def _round_half_away(x: jax.Array) -> jax.Array:
     return jnp.trunc(x + jnp.where(x >= 0, 0.5, -0.5))
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "scale_dtype"))
+@functools.partial(jax.jit, static_argnames=("bits", "scale_dtype", "group_size"))
 def symmetric_quantize(
     weight: jax.Array,
     bits: int = 8,
     scale_dtype: jnp.dtype = jnp.float32,
+    group_size: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Quantize a [K, N] (or [E, K, N]) weight to signed ints + per-N scales.
+    """Quantize a [K, N] (or [E, K, N]) weight to signed ints + absmax scales.
 
     Args:
       weight: float array, shape [K, N] or [E, K, N]. N is the output-channel
         axis (scales are per element of the last axis).
       bits: 8 or 4. For bits=4 the returned qweight still holds one int4 value
-        per int8 element in [-8, 7]; use :func:`int4_pack` to nibble-pack.
+        per int8 element in [-8, 7]; `eetq_tpu.layout.pack_weights(bits=4)`
+        nibble-packs it for the kernel.
       scale_dtype: dtype of the returned scales.
+      group_size: None for per-channel scales [..., N] (the reference's
+        PerChannel mode); an int g (dividing K) for group-wise scales
+        [..., K/g, N] (the reference GEMV's GroupWise(64/128) mode,
+        `weightOnlyBatchedGemv/common.h:73-79`). Group-wise is also the
+        representation of offline-TP-resharded row-parallel weights (each
+        rank's K-slice quantized independently = group_size K/tp).
 
     Returns:
-      (qweight int8 same shape as weight, scales of shape weight.shape[:-2] + [N]).
+      (qweight int8 same shape as weight, scales).
     """
     if bits not in (8, 4):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
     if weight.ndim not in (2, 3):
         raise ValueError(f"weight must be 2-D or 3-D, got shape {weight.shape}")
     w = weight.astype(jnp.float32)
+    kdim, n = w.shape[-2], w.shape[-1]
     qmax = 2 ** (bits - 1) - 1
     qmin = -(2 ** (bits - 1))
-    absmax = jnp.max(jnp.abs(w), axis=-2)  # [..., N]
+    if group_size is not None:
+        if kdim % group_size:
+            raise ValueError(f"group_size {group_size} must divide K {kdim}")
+        wg = w.reshape(*w.shape[:-2], kdim // group_size, group_size, n)
+        absmax = jnp.max(jnp.abs(wg), axis=-2)  # [..., G, N]
+    else:
+        absmax = jnp.max(jnp.abs(w), axis=-2)  # [..., N]
     # scale = absmax / 2^(b-1)  (reference: quant_range_scale, :611)
     scale = absmax * (1.0 / float(2 ** (bits - 1)))
     # Avoid 0/0 for all-zero columns; q ends up 0 there anyway.
     safe = jnp.where(scale == 0.0, 1.0, scale)
-    q = _round_half_away(w / safe[..., None, :])
+    if group_size is not None:
+        q = _round_half_away(wg / safe[..., None, :]).reshape(w.shape)
+    else:
+        q = _round_half_away(w / safe[..., None, :])
     q = jnp.clip(q, qmin, qmax).astype(jnp.int8)
     return q, scale.astype(scale_dtype)
 
@@ -72,9 +90,17 @@ def symmetric_quantize(
 def dequantize(qweight: jax.Array, scales: jax.Array) -> jax.Array:
     """Reference dequantization: ``w ≈ q * scale`` broadcast over the K axis.
 
-    qweight: int8 [..., K, N]; scales: [..., N]. Returns float32.
+    qweight: int8 [..., K, N]; scales [..., N] (per-channel) or [..., G, N]
+    (group-wise; K % G == 0). Returns float32.
     """
-    return qweight.astype(jnp.float32) * scales.astype(jnp.float32)[..., None, :]
+    q = qweight.astype(jnp.float32)
+    s = scales.astype(jnp.float32)
+    if s.ndim == q.ndim:  # group-wise
+        kdim, n = q.shape[-2], q.shape[-1]
+        gcount = s.shape[-2]
+        qg = q.reshape(*q.shape[:-2], gcount, kdim // gcount, n)
+        return (qg * s[..., None, :]).reshape(q.shape)
+    return q * s[..., None, :]
 
 
 def int4_pack(q: jax.Array) -> jax.Array:
