@@ -49,13 +49,33 @@ class EETQCausalLM:
 
         return isinstance(self.params.layers[0].qkv, QuantLinear)
 
-    def quantize(self, save_dir: str | None = None, bits: int = 8) -> "EETQCausalLM":
-        """Quantize in place (fused-projection W8A16) and optionally save.
-        The reference's `quantize(save_dir, tp)` pre-shards for per-shard
-        scales (`models/base.py:74-102`); here TP sharding happens at serve
-        time (eetq_tpu.dist.shard_model quantizes per shard)."""
+    def quantize(
+        self,
+        save_dir: str | None = None,
+        bits: int = 8,
+        tp: int = 1,
+        group_size: int | None = None,
+    ) -> "EETQCausalLM":
+        """Quantize in place (fused-projection W8A16/W4A16) and optionally
+        save. tp > 1 mirrors the reference's `quantize(save_dir, tp)`
+        (`models/base.py:74-102`): row-parallel layers are quantized with
+        per-rank K-slice scales (= group_size K/tp) so a later tp-way
+        reshard is bit-exact — and unlike the reference's merged module,
+        the artifact still serves single-chip (group-wise kernel)."""
+        self._tp = tp
         if not self.quantized:
-            self.params = eet_quantize(self.params, bits=bits)
+            if tp > 1:
+                if group_size is not None:
+                    raise ValueError("pass either tp or group_size, not both")
+                from eetq_tpu.surgery.tp_reshard import quantize_params_tp
+
+                self.params = quantize_params_tp(
+                    self.params, self.cfg, tp=tp, bits=bits
+                )
+            else:
+                self.params = eet_quantize(
+                    self.params, bits=bits, group_size=group_size
+                )
         if save_dir is not None:
             self.save_quantized(save_dir)
         return self
@@ -63,7 +83,10 @@ class EETQCausalLM:
     def save_quantized(self, save_dir: str) -> None:
         if not self.quantized:
             raise ValueError("call quantize() first")
-        save_quantized(self.params, self.cfg, save_dir, hf_config=self.hf_config)
+        save_quantized(
+            self.params, self.cfg, save_dir, hf_config=self.hf_config,
+            tp=getattr(self, "_tp", 1),
+        )
 
     def forward(self, tokens, positions, caches=None, offset=0):
         return forward(self.params, self.cfg, tokens, positions, caches,
@@ -78,18 +101,22 @@ class EETQCausalLM:
         return init_caches(self.cfg, batch, max_len, dtype)
 
     def shard(self, mesh=None, tp: int | None = None, dp: int = 1):
-        """Shard over a TPU mesh for runtime tensor parallelism. Requires
-        dense params (per-shard quantization happens during sharding)."""
+        """Shard over a TPU mesh for runtime tensor parallelism.
+
+        Dense params: split, quantize per shard, place (shard_model).
+        Quantized params (e.g. loaded via from_quantized from a
+        `quantize(tp=N)` checkpoint): lossless slicing without
+        requantization (shard_quantized) — bit-exact when the checkpoint
+        tp matches the mesh tp."""
         from eetq_tpu.dist import make_mesh, shard_model
 
-        if self.quantized:
-            raise ValueError(
-                "shard() quantizes per-shard; start from the dense model "
-                "(from_pretrained without quantize)"
-            )
         if mesh is None:
             tp = tp or len(jax.devices()) // dp
             mesh = make_mesh(tp=tp, dp=dp)
+        if self.quantized:
+            from eetq_tpu.surgery.tp_reshard import shard_quantized
+
+            return shard_quantized(self.params, self.cfg, mesh)
         return shard_model(self.params, self.cfg, mesh, quantize=True)
 
 

@@ -216,10 +216,17 @@ def save_quantized(
     save_dir: str,
     hf_config: dict | None = None,
     max_shard_bytes: int = 4 * 1024**3,
+    tp: int = 1,
 ) -> None:
     """Write an HF-format quantized checkpoint: config.json with
     quantization_config (reference `models/base.py:108-146`) + sharded
-    safetensors of UNPACKED int8 weights [out, in] and fp16 scales [out]."""
+    safetensors of UNPACKED int8 weights [out, in] and fp16 scales.
+
+    Scales: per-channel layers store [out]; group-wise layers (including
+    offline-TP-resharded row-parallel ones, reference merge convention
+    `utils/base.py:237-250`) store the per-group rows CONCATENATED to
+    [G*out] — the loader reconstructs G from the length. `tp` is recorded
+    in quantization_config for provenance."""
     from safetensors.numpy import save_file
 
     os.makedirs(save_dir, exist_ok=True)
@@ -230,7 +237,7 @@ def save_quantized(
         tensors[f"{name}.weight"] = np.ascontiguousarray(q)
         tensors[f"{name}.weight_scales"] = np.asarray(
             ql.scales, dtype=np.float16
-        )
+        ).reshape(-1)
         if ql.bias is not None:
             tensors[f"{name}.bias"] = np.asarray(ql.bias, np.float16)
 
@@ -272,7 +279,13 @@ def save_quantized(
                 {"metadata": {"total_size": sum(sizes)}, "weight_map": weight_map}, f
             )
 
-    quant_cfg = {"quant_method": "eetq", "zero_point": False, "bits": 8}
+    bits = 8
+    for lp in params.layers:
+        if isinstance(lp.qkv, QuantLinear):
+            bits = lp.qkv.qweight.bits
+            break
+    quant_cfg = {"quant_method": "eetq", "zero_point": False, "bits": bits,
+                 "tp": tp}
     hf = dict(hf_config or {})
     hf.setdefault("model_type", cfg.model_type)
     hf.setdefault("vocab_size", cfg.vocab_size)
@@ -306,27 +319,43 @@ def load_quantized(path: str, dtype=jnp.bfloat16) -> tuple[ModelConfig, ModelPar
     qc = hf.get("quantization_config")
     if not qc or qc.get("quant_method") != "eetq":
         raise ValueError(f"{path} is not an eetq quantized checkpoint: {qc}")
+    bits = int(qc.get("bits", 8))
     src = _source_from_dir(path)
     fam = _family(cfg.model_type)
 
     def get_quant(name: str) -> QuantLinear:
         q = src(f"{name}.weight")  # [out, in] int8
-        scales = src(f"{name}.weight_scales")
+        scales = src(f"{name}.weight_scales").reshape(-1)
+        out_dim = q.shape[0]
+        if scales.size != out_dim:
+            # group-wise rows stored concatenated (see save_quantized)
+            scales = scales.reshape(scales.size // out_dim, out_dim)
         bias = None
         if f"{name}.bias" in src:
             bias = jnp.asarray(src(f"{name}.bias"), dtype)
         return QuantLinear(
-            qweight=pack_weights(jnp.asarray(np.ascontiguousarray(q.T))),
+            qweight=pack_weights(
+                jnp.asarray(np.ascontiguousarray(q.T)), bits=bits
+            ),
             scales=jnp.asarray(scales, jnp.float32),
             bias=bias,
         )
 
     def fuse_quant(qls: list[QuantLinear]) -> QuantLinear:
         qs = [unpack_weights(q.qweight) for q in qls]
+        biases = [q.bias for q in qls]
+        bias = None
+        if any(b is not None for b in biases):
+            bias = jnp.concatenate(
+                [
+                    b if b is not None else jnp.zeros((q.out_features,), dtype)
+                    for b, q in zip(biases, qls)
+                ]
+            )
         return QuantLinear(
-            qweight=pack_weights(jnp.concatenate(qs, axis=-1)),
-            scales=jnp.concatenate([q.scales for q in qls]),
-            bias=None,
+            qweight=pack_weights(jnp.concatenate(qs, axis=-1), bits=bits),
+            scales=jnp.concatenate([q.scales for q in qls], axis=-1),
+            bias=bias,
         )
 
     layers = []

@@ -5,6 +5,11 @@ from eetq_tpu.surgery.fusion import (
     fuse_gateup,
 )
 from eetq_tpu.surgery.quantize import eet_quantize, eet_accelerator
+from eetq_tpu.surgery.tp_reshard import (
+    quantize_params_tp,
+    shard_quantized,
+    split_quant_rows,
+)
 
 __all__ = [
     "fuse_columns",
@@ -13,4 +18,7 @@ __all__ = [
     "fuse_gateup",
     "eet_quantize",
     "eet_accelerator",
+    "quantize_params_tp",
+    "shard_quantized",
+    "split_quant_rows",
 ]

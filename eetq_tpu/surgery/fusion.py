@@ -44,14 +44,17 @@ def split_quant_columns(ql: QuantLinear, sizes: list[int]) -> list[QuantLinear]:
     if sum(sizes) != ql.out_features:
         raise ValueError(f"sizes {sizes} != out_features {ql.out_features}")
     q = unpack_weights(ql.qweight)
+    bits = ql.qweight.bits
     outs = []
     start = 0
     for n in sizes:
         sl = slice(start, start + n)
         outs.append(
             QuantLinear(
-                qweight=pack_weights(q[:, sl]),
-                scales=ql.scales[sl],
+                # scales sliced on the channel axis: exact for per-channel
+                # [N] and group-wise [G, N] alike
+                qweight=pack_weights(q[:, sl], bits=bits),
+                scales=ql.scales[..., sl],
                 bias=None if ql.bias is None else ql.bias[sl],
             )
         )

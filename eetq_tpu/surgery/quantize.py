@@ -31,10 +31,12 @@ from eetq_tpu.modules.linear import DenseLinear, QuantLinear, quantize_linear
 def eet_quantize(
     params: ModelParams,
     bits: int = 8,
+    group_size: int | None = None,
     exclude: tuple[str, ...] = ("lm_head",),
 ) -> ModelParams:
-    """Quantize every DenseLinear in `params` to W8A16 except paths matching
-    `exclude` regexes (matched against the pytree path string)."""
+    """Quantize every DenseLinear in `params` to W8A16 (or W4A16 with
+    bits=4, group-wise with group_size) except paths matching `exclude`
+    regexes (matched against the pytree path string)."""
     import jax
 
     patterns = [re.compile(p) for p in exclude]
@@ -44,7 +46,8 @@ def eet_quantize(
             if any(p.search(path) for p in patterns):
                 return obj
             return quantize_linear(
-                obj.weight.astype(jnp.float32), bias=obj.bias, bits=bits
+                obj.weight.astype(jnp.float32), bias=obj.bias, bits=bits,
+                group_size=group_size,
             )
         if isinstance(obj, QuantLinear):
             return obj

@@ -83,6 +83,7 @@ def test_quantized_roundtrip_bit_exact(hf_dir, rng, tmp_path):
         "quant_method": "eetq",
         "zero_point": False,
         "bits": 8,
+        "tp": 1,
     }
     assert os.path.exists(os.path.join(save_dir, "quant_config.json"))
 
