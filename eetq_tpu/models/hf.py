@@ -107,10 +107,23 @@ def _source_from_torch(model) -> _TensorSource:
 
 
 def _to_linear(w_t: np.ndarray, quantize: bool, bits: int, dtype):
-    """torch [out, in] -> our [in, out]; optionally quantize."""
-    w = jnp.asarray(np.ascontiguousarray(w_t.T))
+    """torch [out, in] -> our [in, out]; optionally quantize.
+
+    Quantization runs on the HOST (native C++ quantizer, numpy fallback —
+    eetq_tpu.native) so the dense fp16/fp32 weight never touches device
+    HBM: only the int8 buffer and scales are transferred (the reference
+    keeps its quantizer on CPU for the same reason, SURVEY.md §3.1
+    GPU->CPU boundary)."""
     if quantize:
-        return quantize_linear(w.astype(jnp.float32), bits=bits)
+        from eetq_tpu.native import host_symmetric_quantize
+
+        q, s = host_symmetric_quantize(np.ascontiguousarray(w_t.T), bits=bits)
+        return QuantLinear(
+            qweight=pack_weights(jnp.asarray(q), bits=bits),
+            scales=jnp.asarray(s, jnp.float32),
+            bias=None,
+        )
+    w = jnp.asarray(np.ascontiguousarray(w_t.T))
     return DenseLinear(weight=w.astype(dtype))
 
 
