@@ -45,8 +45,22 @@ def init_kv_cache(
 
 
 def update_cache(cache: KVCache, k_new: jax.Array, v_new: jax.Array, offset) -> KVCache:
-    """Write [B, S, Hkv, D] new keys/values at sequence position `offset`."""
-    zeros = (0, offset, 0, 0)
+    """Write [B, S, Hkv, D] new keys/values at sequence position `offset`.
+
+    offset may be a scalar (all rows at the same position — plain generate)
+    or a [B] vector of per-row positions (continuous batching: every slot
+    is at its own decode offset)."""
+    off = jnp.asarray(offset, jnp.int32)
+    if off.ndim == 1:
+        def row(ck, cv, kn, vn, o):
+            return (
+                jax.lax.dynamic_update_slice(ck, kn.astype(ck.dtype), (o, 0, 0)),
+                jax.lax.dynamic_update_slice(cv, vn.astype(cv.dtype), (o, 0, 0)),
+            )
+
+        k, v = jax.vmap(row)(cache.k, cache.v, k_new, v_new, off)
+        return KVCache(k=k, v=v)
+    zeros = (0, off, 0, 0)
     return KVCache(
         k=jax.lax.dynamic_update_slice(cache.k, k_new.astype(cache.k.dtype), zeros),
         v=jax.lax.dynamic_update_slice(cache.v, v_new.astype(cache.v.dtype), zeros),

@@ -1,4 +1,12 @@
 from eetq_tpu.serve.generate import generate, greedy_generate
 from eetq_tpu.serve.eval import delta_ppl, perplexity
+from eetq_tpu.serve.engine import Engine, Request
 
-__all__ = ["generate", "greedy_generate", "perplexity", "delta_ppl"]
+__all__ = [
+    "generate",
+    "greedy_generate",
+    "perplexity",
+    "delta_ppl",
+    "Engine",
+    "Request",
+]

@@ -1,0 +1,111 @@
+"""Continuous-batching engine tests: lock-step decode with mixed prompt
+lengths/budgets must reproduce the standalone generate() outputs exactly
+(same kernels, per-row positions/masks), and slots must recycle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eetq_tpu.models import ModelConfig, quantize_params, random_dense_params
+from eetq_tpu.serve.engine import Engine
+from eetq_tpu.serve.generate import greedy_generate
+
+CFG = ModelConfig(
+    vocab_size=128,
+    hidden_size=64,
+    intermediate_size=128,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,
+    head_dim=16,
+    max_position=128,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return quantize_params(
+        random_dense_params(CFG, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    )
+
+
+def _ref_greedy(params, prompt, n):
+    out = greedy_generate(
+        params, CFG, jnp.asarray(np.asarray(prompt, np.int32)[None]), n
+    )
+    return [int(t) for t in np.asarray(out[0])]
+
+
+def test_single_request_matches_generate(params):
+    prompt = [3, 17, 42, 9]
+    eng = Engine(params, CFG, max_batch=4, max_len=64, prompt_buckets=(8, 16))
+    uid = eng.add_request(prompt, max_new_tokens=8)
+    eng.run()
+    assert eng.result(uid) == _ref_greedy(params, prompt, 8)
+
+
+def test_mixed_lengths_and_budgets(params):
+    prompts = [[5, 6, 7], [11] * 10, [1, 2], [99, 42, 7, 7, 7, 7]]
+    budgets = [6, 3, 9, 5]
+    eng = Engine(params, CFG, max_batch=4, max_len=64, prompt_buckets=(4, 16))
+    uids = [eng.add_request(p, n) for p, n in zip(prompts, budgets)]
+    eng.run()
+    for uid, p, n in zip(uids, prompts, budgets):
+        assert eng.result(uid) == _ref_greedy(params, p, n), (p, n)
+
+
+def test_more_requests_than_slots_recycles(params):
+    """8 requests through 2 slots: continuous batching must admit new
+    requests as slots free up and produce exact per-request outputs."""
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(1, CFG.vocab_size, size=rng.integers(2, 12)))
+               for _ in range(8)]
+    eng = Engine(params, CFG, max_batch=2, max_len=64, prompt_buckets=(16,))
+    uids = [eng.add_request(p, 5) for p in prompts]
+    eng.run()
+    for uid, p in zip(uids, prompts):
+        assert eng.result(uid) == _ref_greedy(params, p, 5)
+
+
+def test_late_arrival(params):
+    """A request added mid-flight joins the running batch."""
+    eng = Engine(params, CFG, max_batch=4, max_len=64, prompt_buckets=(8,))
+    u1 = eng.add_request([4, 8, 15], max_new_tokens=10)
+    for _ in range(4):
+        eng.step()
+    u2 = eng.add_request([16, 23, 42], max_new_tokens=6)
+    eng.run()
+    assert eng.result(u1) == _ref_greedy(params, [4, 8, 15], 10)
+    assert eng.result(u2) == _ref_greedy(params, [16, 23, 42], 6)
+
+
+def test_eos_frees_slot(params):
+    prompt = [3, 17, 42, 9]
+    full = _ref_greedy(params, prompt, 8)
+    eos = full[3]  # force an early stop (at its FIRST occurrence)
+    stop = full.index(eos) + 1
+    eng = Engine(params, CFG, max_batch=1, max_len=64, prompt_buckets=(8,))
+    uid = eng.add_request(prompt, max_new_tokens=8, eos_token_id=eos)
+    eng.run()
+    assert eng.result(uid) == full[:stop]
+    assert not eng.has_work
+
+
+def test_overflow_rejected(params):
+    eng = Engine(params, CFG, max_batch=1, max_len=32)
+    with pytest.raises(ValueError):
+        eng.add_request(list(range(1, 30)), max_new_tokens=10)
+    with pytest.raises(ValueError):
+        eng.add_request([], max_new_tokens=1)
+
+
+def test_sampled_request_deterministic_seeded(params):
+    eng1 = Engine(params, CFG, max_batch=2, max_len=64, seed=7)
+    eng2 = Engine(params, CFG, max_batch=2, max_len=64, seed=7)
+    for eng in (eng1, eng2):
+        eng.add_request([5, 6, 7], 6, temperature=0.8, top_k=20)
+    eng1.run()
+    eng2.run()
+    assert eng1.result(0) == eng2.result(0)
+    assert all(0 <= t < CFG.vocab_size for t in eng1.result(0))
