@@ -68,11 +68,13 @@ def build_params(cfg: ModelConfig, quantized: bool) -> ModelParams:
         jax.block_until_ready(jax.tree.leaves(layers[-1]))
     embed = (jax.random.normal(keys[-2], (cfg.vocab_size, cfg.hidden_size),
                                jnp.bfloat16) * 0.02)
-    lm_head = DenseLinear(
-        weight=jax.random.normal(
-            keys[-1], (cfg.hidden_size, cfg.vocab_size), jnp.bfloat16
-        ) * (cfg.hidden_size**-0.5)
-    )
+    lm_w = jax.random.normal(
+        keys[-1], (cfg.hidden_size, cfg.vocab_size), jnp.bfloat16
+    ) * (cfg.hidden_size**-0.5)
+    if quantized and os.environ.get("EETQ_BENCH_QUANT_LMHEAD"):
+        lm_head = quantize_linear(lm_w.astype(jnp.float32))
+    else:
+        lm_head = DenseLinear(weight=lm_w)
     return ModelParams(
         embed=embed,
         layers=layers,

@@ -93,7 +93,10 @@ def split_rows(w: jax.Array, tp: int) -> list[jax.Array]:
     return jnp.split(w, tp, axis=-2)
 
 
-def _stack_quantized(shards: list[jax.Array], bits: int) -> QuantLinear:
+def _stack_quantized(
+    shards: list[jax.Array], bits: int,
+    bias_shards: list[jax.Array] | None = None,
+) -> QuantLinear:
     """Quantize each dense shard independently and stack along a new leading
     [tp] axis (per-shard scales — see module docstring)."""
     qls = [quantize_linear(s, bits=bits) for s in shards]
@@ -101,11 +104,15 @@ def _stack_quantized(shards: list[jax.Array], bits: int) -> QuantLinear:
     scales = jnp.stack([q.scales for q in qls])
     proto = qls[0]
     qw = dataclasses.replace(proto.qweight, data=data)
-    return QuantLinear(qweight=qw, scales=scales, bias=None)
+    bias = None if bias_shards is None else jnp.stack(bias_shards)
+    return QuantLinear(qweight=qw, scales=scales, bias=bias)
 
 
-def _stack_dense(shards: list[jax.Array]) -> DenseLinear:
-    return DenseLinear(weight=jnp.stack(shards))
+def _stack_dense(
+    shards: list[jax.Array], bias_shards: list[jax.Array] | None = None
+) -> DenseLinear:
+    bias = None if bias_shards is None else jnp.stack(bias_shards)
+    return DenseLinear(weight=jnp.stack(shards), bias=bias)
 
 
 @dataclasses.dataclass
@@ -133,9 +140,13 @@ def shard_model(
     """
     tp = mesh.shape[MODEL_AXIS]
 
-    def mk_linear(shards: list[jax.Array], col_spec) -> tuple[Any, Any]:
+    def mk_linear(
+        shards: list[jax.Array],
+        bias_shards: list[jax.Array] | None = None,
+    ) -> tuple[Any, Any]:
+        bspec = None if bias_shards is None else P(MODEL_AXIS, None)
         if quantize:
-            ql = _stack_quantized(shards, bits)
+            ql = _stack_quantized(shards, bits, bias_shards)
             ql_placed = QuantLinear(
                 qweight=dataclasses.replace(
                     ql.qweight,
@@ -146,32 +157,53 @@ def shard_model(
                 scales=jax.device_put(
                     ql.scales, NamedSharding(mesh, P(MODEL_AXIS, None))
                 ),
-                bias=None,
+                bias=None
+                if ql.bias is None
+                else jax.device_put(ql.bias, NamedSharding(mesh, bspec)),
             )
             spec = QuantLinear(
                 qweight=dataclasses.replace(
                     ql.qweight, data=P(MODEL_AXIS, None, None)
                 ),
                 scales=P(MODEL_AXIS, None),
-                bias=None,
+                bias=bspec,
             )
             return ql_placed, spec
-        dl = _stack_dense(shards)
+        dl = _stack_dense(shards, bias_shards)
         placed = DenseLinear(
             weight=jax.device_put(
                 dl.weight, NamedSharding(mesh, P(MODEL_AXIS, None, None))
-            )
+            ),
+            bias=None
+            if dl.bias is None
+            else jax.device_put(dl.bias, NamedSharding(mesh, bspec)),
         )
-        return placed, DenseLinear(weight=P(MODEL_AXIS, None, None))
+        return placed, DenseLinear(weight=P(MODEL_AXIS, None, None), bias=bspec)
 
     def repl(x):
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     layers, layer_specs = [], []
     for lp in dense_params.layers:
-        qkv, qkv_s = mk_linear(split_qkv_columns(lp.qkv.weight, cfg, tp), None)
+        # column-parallel biases split with their columns; row-parallel
+        # layers in the supported families carry no bias
+        qkv_b = (
+            None
+            if lp.qkv.bias is None
+            else split_qkv_columns(lp.qkv.bias, cfg, tp)
+        )
+        gu_b = (
+            None
+            if lp.gateup.bias is None
+            else split_gateup_columns(lp.gateup.bias, tp)
+        )
+        if lp.o_proj.bias is not None or lp.down.bias is not None:
+            raise NotImplementedError(
+                "row-parallel bias sharding not supported"
+            )
+        qkv, qkv_s = mk_linear(split_qkv_columns(lp.qkv.weight, cfg, tp), qkv_b)
         o, o_s = mk_linear(split_rows(lp.o_proj.weight, tp), None)
-        gu, gu_s = mk_linear(split_gateup_columns(lp.gateup.weight, tp), None)
+        gu, gu_s = mk_linear(split_gateup_columns(lp.gateup.weight, tp), gu_b)
         dn, dn_s = mk_linear(split_rows(lp.down.weight, tp), None)
         layers.append(
             LayerParams(

@@ -67,8 +67,9 @@ def choose_config(m: int, kp: int, np_: int) -> MatmulConfig:
         # (scripts/microbench_gemv.py, llama2-7b decode shapes): ~1 MiB int8
         # weight blocks with a tall-K aspect stream at 750-900 GB/s
         # (~peak), while whole-K bn=512 blocks drop as low as 434 GB/s.
-        # Rule: bm=8 (smallest sublane tile — x is tiny), bn=256 (two lane
-        # tiles), bk = largest divisor of Kp with bk*bn <= ~1.5 MiB.
+        # Rule: bm=8 (the f32 sublane tile; measured ~1 tok/s better than
+        # bm=m unpadded blocks on the llama2-7b e2e bench), bn=256 (two
+        # lane tiles), bk = largest divisor of Kp with bk*bn <= ~1.5 MiB.
         bm = 8
         bn = 256
         kt = DEFAULT_LAYOUT.k_tile

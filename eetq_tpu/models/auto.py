@@ -32,7 +32,7 @@ log = get_logger(__name__)
 # model_type -> supported (the reference's EETQ_CAUSAL_LM_MODEL_MAP,
 # auto.py:6-10, plus mistral; chatglm remains unsupported like the
 # reference's WIP fuser)
-SUPPORTED_MODEL_TYPES = ("llama", "mistral", "gemma", "baichuan")
+SUPPORTED_MODEL_TYPES = ("llama", "mistral", "gemma", "baichuan", "qwen2")
 
 
 @dataclasses.dataclass
@@ -55,6 +55,7 @@ class EETQCausalLM:
         bits: int = 8,
         tp: int = 1,
         group_size: int | None = None,
+        quantize_lm_head: bool = False,
     ) -> "EETQCausalLM":
         """Quantize in place (fused-projection W8A16/W4A16) and optionally
         save. tp > 1 mirrors the reference's `quantize(save_dir, tp)`
@@ -74,7 +75,8 @@ class EETQCausalLM:
                 )
             else:
                 self.params = eet_quantize(
-                    self.params, bits=bits, group_size=group_size
+                    self.params, bits=bits, group_size=group_size,
+                    exclude=() if quantize_lm_head else ("lm_head",),
                 )
         if save_dir is not None:
             self.save_quantized(save_dir)

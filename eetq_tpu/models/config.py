@@ -67,6 +67,9 @@ class ModelConfig:
                 hf["hidden_size"] ** 0.5 if model_type == "gemma" else None
             ),
             rmsnorm_unit_offset=model_type == "gemma",
+            # qwen2 always uses q/k/v biases; llama-family configs may opt
+            # in via attention_bias
+            qkv_bias=model_type == "qwen2" or hf.get("attention_bias", False),
             model_type=model_type,
         )
 
@@ -117,6 +120,12 @@ BAICHUAN_7B = ModelConfig(
     model_type="baichuan",
 )
 
+QWEN2_7B = ModelConfig(
+    vocab_size=152064, hidden_size=3584, intermediate_size=18944, num_layers=28,
+    num_heads=28, num_kv_heads=4, head_dim=128, max_position=32768,
+    rope_theta=1e6, rms_eps=1e-6, qkv_bias=True, model_type="qwen2",
+)
+
 PRESETS = {
     "tinyllama-1.1b": TINYLLAMA_1_1B,
     "llama2-7b": LLAMA2_7B,
@@ -125,4 +134,5 @@ PRESETS = {
     "mistral-7b": MISTRAL_7B,
     "gemma-7b": GEMMA_7B,
     "baichuan-7b": BAICHUAN_7B,
+    "qwen2-7b": QWEN2_7B,
 }

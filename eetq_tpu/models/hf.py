@@ -39,6 +39,7 @@ _FAMILY = {
     "mistral": dict(qkv=("q_proj", "k_proj", "v_proj")),
     "gemma": dict(qkv=("q_proj", "k_proj", "v_proj")),
     "baichuan": dict(qkv=("W_pack",)),
+    "qwen2": dict(qkv=("q_proj", "k_proj", "v_proj")),  # with qkv biases
 }
 
 
@@ -106,7 +107,8 @@ def _source_from_torch(model) -> _TensorSource:
     return _TensorSource(get, sd.keys())
 
 
-def _to_linear(w_t: np.ndarray, quantize: bool, bits: int, dtype):
+def _to_linear(w_t: np.ndarray, quantize: bool, bits: int, dtype,
+               bias: np.ndarray | None = None):
     """torch [out, in] -> our [in, out]; optionally quantize.
 
     Quantization runs on the HOST (native C++ quantizer, numpy fallback —
@@ -114,6 +116,7 @@ def _to_linear(w_t: np.ndarray, quantize: bool, bits: int, dtype):
     HBM: only the int8 buffer and scales are transferred (the reference
     keeps its quantizer on CPU for the same reason, SURVEY.md §3.1
     GPU->CPU boundary)."""
+    b = None if bias is None else jnp.asarray(bias, dtype)
     if quantize:
         from eetq_tpu.native import host_symmetric_quantize
 
@@ -121,10 +124,10 @@ def _to_linear(w_t: np.ndarray, quantize: bool, bits: int, dtype):
         return QuantLinear(
             qweight=pack_weights(jnp.asarray(q), bits=bits),
             scales=jnp.asarray(s, jnp.float32),
-            bias=None,
+            bias=b,
         )
     w = jnp.asarray(np.ascontiguousarray(w_t.T))
-    return DenseLinear(weight=w.astype(dtype))
+    return DenseLinear(weight=w.astype(dtype), bias=b)
 
 
 def _build_params(
@@ -139,13 +142,20 @@ def _build_params(
     for i in range(cfg.num_layers):
         pfx = f"model.layers.{i}"
         attn = f"{pfx}.self_attn"
+        qkv_bias = None
         if len(fam["qkv"]) == 3:
             wq = src(f"{attn}.q_proj.weight")
             wk = src(f"{attn}.k_proj.weight")
             wv = src(f"{attn}.v_proj.weight")
             qkv_t = np.concatenate([wq, wk, wv], axis=0)  # [out, in]
+            if f"{attn}.q_proj.bias" in src:  # qwen2 / attention_bias models
+                qkv_bias = np.concatenate(
+                    [src(f"{attn}.{p}.bias") for p in fam["qkv"]]
+                )
         else:  # baichuan W_pack: rows q|k|v already fused
             qkv_t = src(f"{attn}.W_pack.weight")
+            if f"{attn}.W_pack.bias" in src:
+                qkv_bias = src(f"{attn}.W_pack.bias")
         gate = src(f"{pfx}.mlp.gate_proj.weight")
         up = src(f"{pfx}.mlp.up_proj.weight")
         gateup_t = np.concatenate([gate, up], axis=0)
@@ -154,7 +164,7 @@ def _build_params(
                 input_norm=jnp.asarray(
                     src(f"{pfx}.input_layernorm.weight"), jnp.float32
                 ),
-                qkv=_to_linear(qkv_t, quantize, bits, dtype),
+                qkv=_to_linear(qkv_t, quantize, bits, dtype, bias=qkv_bias),
                 o_proj=_to_linear(src(f"{attn}.o_proj.weight"), quantize, bits, dtype),
                 post_norm=jnp.asarray(
                     src(f"{pfx}.post_attention_layernorm.weight"), jnp.float32
@@ -265,9 +275,12 @@ def save_quantized(
     tensors["model.embed_tokens.weight"] = np.asarray(params.embed, np.float16)
     tensors["model.norm.weight"] = np.asarray(params.final_norm, np.float16)
     if params.lm_head is not None:
-        tensors["lm_head.weight"] = np.ascontiguousarray(
-            np.asarray(params.lm_head.weight, np.float16).T
-        )
+        if isinstance(params.lm_head, QuantLinear):  # quantize_lm_head=True
+            put_quant("lm_head", params.lm_head)
+        else:
+            tensors["lm_head.weight"] = np.ascontiguousarray(
+                np.asarray(params.lm_head.weight, np.float16).T
+            )
 
     # shard by size with an index, like save_torch_state_dict
     shards: list[dict] = [{}]
@@ -399,7 +412,12 @@ def load_quantized(path: str, dtype=jnp.bfloat16) -> tuple[ModelConfig, ModelPar
         )
     lm_head = None
     if not cfg.tie_word_embeddings and "lm_head.weight" in src:
-        lm_head = DenseLinear(weight=jnp.asarray(src("lm_head.weight").T.copy(), dtype))
+        if "lm_head.weight_scales" in src:  # saved with quantize_lm_head
+            lm_head = get_quant("lm_head")
+        else:
+            lm_head = DenseLinear(
+                weight=jnp.asarray(src("lm_head.weight").T.copy(), dtype)
+            )
     return cfg, ModelParams(
         embed=jnp.asarray(src("model.embed_tokens.weight"), dtype),
         layers=layers,

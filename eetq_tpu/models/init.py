@@ -16,9 +16,12 @@ from eetq_tpu.models.transformer import LayerParams, ModelParams
 from eetq_tpu.modules.linear import DenseLinear, quantize_linear
 
 
-def _dense(key, k, n, dtype) -> DenseLinear:
+def _dense(key, k, n, dtype, with_bias: bool = False) -> DenseLinear:
     w = jax.random.normal(key, (k, n), jnp.float32) * (k**-0.5)
-    return DenseLinear(weight=w.astype(dtype))
+    b = None
+    if with_bias:
+        b = (jax.random.normal(key, (n,), jnp.float32) * 0.02).astype(dtype)
+    return DenseLinear(weight=w.astype(dtype), bias=b)
 
 
 def random_dense_params(
@@ -33,7 +36,8 @@ def random_dense_params(
         layers.append(
             LayerParams(
                 input_norm=jnp.ones((h,), jnp.float32),
-                qkv=_dense(next(keys), h, cfg.qkv_out, dtype),
+                qkv=_dense(next(keys), h, cfg.qkv_out, dtype,
+                           with_bias=cfg.qkv_bias),
                 o_proj=_dense(next(keys), cfg.num_heads * cfg.head_dim, h, dtype),
                 post_norm=jnp.ones((h,), jnp.float32),
                 gateup=_dense(next(keys), h, 2 * cfg.intermediate_size, dtype),
@@ -54,11 +58,17 @@ def random_dense_params(
     )
 
 
-def quantize_params(params: ModelParams, bits: int = 8) -> ModelParams:
+def quantize_params(
+    params: ModelParams,
+    bits: int = 8,
+    quantize_lm_head: bool = False,
+) -> ModelParams:
     """One-line quantize-and-swap over a params pytree: every DenseLinear in
     the decoder layers becomes a QuantLinear (per-channel symmetric W8A16).
-    The lm_head stays dense, matching the reference's exclusion
-    (`utils/base.py:273-274`: get_named_linears excludes lm_head)."""
+    By default the lm_head stays dense, matching the reference's exclusion
+    (`utils/base.py:273-274`: get_named_linears excludes lm_head);
+    quantize_lm_head=True opts it in (halves lm_head HBM traffic per decode
+    step — ~3% of a llama2-7b step — at a small logits-precision cost)."""
 
     def q(lin: DenseLinear):
         return quantize_linear(lin.weight, bias=lin.bias, bits=bits)
@@ -73,7 +83,10 @@ def quantize_params(params: ModelParams, bits: int = 8) -> ModelParams:
         )
         for lp in params.layers
     ]
-    return dataclasses_replace(params, layers=layers)
+    lm_head = params.lm_head
+    if quantize_lm_head and isinstance(lm_head, DenseLinear):
+        lm_head = q(lm_head)
+    return dataclasses_replace(params, layers=layers, lm_head=lm_head)
 
 
 def dataclasses_replace(obj, **kw):

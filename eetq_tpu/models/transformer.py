@@ -97,6 +97,10 @@ def decoder_layer(
     attn, cache = attention(
         q, k, v, cache, offset, window=cfg.sliding_window, use_flash=use_flash
     )
+    # NOTE: the kernel supports a fused residual epilogue
+    # (gemm_bias_act_residual parity, fpA_intB_gemm_template.h:804), but on
+    # v5e the extra residual block stream measured ~0.3 ms/step SLOWER than
+    # XLA's standalone add at decode shapes — so the add stays outside.
     o = linear_apply(p.o_proj, attn.reshape(b, s, hq * d), lora=p.o_lora)
     x = residual + _maybe_psum(o, tp_axis)
 
@@ -108,8 +112,8 @@ def decoder_layer(
     act = {"silu": jax.nn.silu, "gelu": jax.nn.gelu, "relu": jax.nn.relu}[
         cfg.activation
     ]
-    down = linear_apply(p.down, (act(gate.astype(jnp.float32)) *
-                                 up.astype(jnp.float32)).astype(x.dtype))
+    h_mlp = (act(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype)
+    down = linear_apply(p.down, h_mlp)
     x = residual + _maybe_psum(down, tp_axis)
     return x, cache
 

@@ -121,12 +121,16 @@ def linear_apply(
     x: jax.Array,
     activation: str | None = None,
     lora: LoraAdapter | None = None,
+    residual: jax.Array | None = None,
 ) -> jax.Array:
     """Forward through a (quantized or dense) linear with optional fused
-    activation and LoRA side path."""
+    activation, fused residual add, and LoRA side path."""
+    if lora is not None and residual is not None:
+        raise ValueError("fused residual with LoRA is not supported")
     if isinstance(layer, QuantLinear):
         out = w8a16_matmul(
-            x, layer.qweight, layer.scales, bias=layer.bias, activation=activation
+            x, layer.qweight, layer.scales, bias=layer.bias,
+            activation=activation, residual=residual,
         )
     else:
         out = jnp.dot(x, layer.weight.astype(x.dtype), preferred_element_type=jnp.float32)
@@ -136,6 +140,8 @@ def linear_apply(
             out = {"relu": jax.nn.relu, "gelu": jax.nn.gelu, "silu": jax.nn.silu}[
                 activation
             ](out)
+        if residual is not None:
+            out = out + residual.astype(jnp.float32)
         out = out.astype(x.dtype)
     if lora is not None:
         if activation is not None:

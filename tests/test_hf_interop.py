@@ -135,3 +135,32 @@ def test_unsupported_model_type(tmp_path):
     }))
     with pytest.raises(ValueError, match="isn't supported"):
         AutoEETQForCausalLM.from_pretrained(str(d))
+
+
+def test_quantized_lm_head_roundtrip(tmp_path, rng):
+    """quantize_lm_head=True: lm_head saved as int8+scales and reloaded."""
+    import dataclasses
+
+    import jax
+
+    from eetq_tpu.models import quantize_params, random_dense_params
+    from eetq_tpu.models.config import ModelConfig
+    from eetq_tpu.models.hf import load_quantized, save_quantized
+    from eetq_tpu.models.transformer import forward
+    from eetq_tpu.modules.linear import QuantLinear
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=1,
+        num_heads=4, num_kv_heads=2, head_dim=16, max_position=32,
+    )
+    dense = random_dense_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    qp = quantize_params(dense, quantize_lm_head=True)
+    assert isinstance(qp.lm_head, QuantLinear)
+    save_quantized(qp, cfg, str(tmp_path))
+    cfg2, loaded = load_quantized(str(tmp_path))
+    assert isinstance(loaded.lm_head, QuantLinear)
+    toks = jnp.arange(8, dtype=jnp.int32)[None, :]
+    pos = jnp.arange(8, dtype=jnp.int32)[None, :]
+    lg1, _ = forward(qp, cfg, toks, pos, None, jnp.int32(0))
+    lg2, _ = forward(loaded, cfg2, toks, pos, None, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(lg1), np.asarray(lg2), atol=3e-2)

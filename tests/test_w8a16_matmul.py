@@ -137,7 +137,7 @@ def test_config_cache_and_regimes():
     # Llama-13B MLP decode shape (the reference's micro-benchmark shape,
     # test_w8a16_gemm.py: M=1, N=13824, K=5120).
     cfg_decode = choose_config(1, 5120, 13824)
-    # v5e-measured decode regime: small-m tile, ~1 MiB tall-K weight blocks
+    # v5e-measured decode regime: bm=8, ~1 MiB tall-K weight blocks
     # (scripts/microbench_gemv.py).
     assert cfg_decode.bm == 8 and cfg_decode.bn == 256
     assert 2048 <= cfg_decode.bk <= 6144 and 5120 % cfg_decode.bk == 0
