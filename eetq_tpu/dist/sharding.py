@@ -280,10 +280,17 @@ def cache_spec() -> P:
     return P(DATA_AXIS, None, MODEL_AXIS, None)
 
 
-def make_forward_fn(model: ShardedModel, use_flash: bool = True) -> Callable:
+def make_forward_fn(
+    model: ShardedModel,
+    use_flash: bool = True,
+    per_row_offset: bool = False,
+) -> Callable:
     """Returns fwd(params, tokens, positions, caches, offset) -> (logits,
     caches): a jitted shard_map over the (data, model) mesh computing the TP
-    decoder with explicit collectives."""
+    decoder with explicit collectives.
+
+    per_row_offset=True makes `offset` a [B] vector of per-row cache
+    positions (continuous batching), sharded with the batch."""
     cfg, mesh, tp = model.cfg, model.mesh, model.tp
     from jax import shard_map
 
@@ -305,7 +312,7 @@ def make_forward_fn(model: ShardedModel, use_flash: bool = True) -> Callable:
             P(DATA_AXIS, None),
             P(DATA_AXIS, None),
             caches_spec,
-            P(),
+            P(DATA_AXIS) if per_row_offset else P(),
         ),
         out_specs=(P(DATA_AXIS, None, None), caches_spec),
         check_vma=False,

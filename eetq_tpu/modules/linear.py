@@ -133,15 +133,18 @@ def linear_apply(
             activation=activation, residual=residual,
         )
     else:
-        out = jnp.dot(x, layer.weight.astype(x.dtype), preferred_element_type=jnp.float32)
+        # bf16 output (MXU still accumulates in f32 internally); an f32
+        # output dtype would double the HBM write traffic of large prefill
+        # activations for no accuracy gain.
+        out = jnp.dot(x, layer.weight.astype(x.dtype))
         if layer.bias is not None:
-            out = out + layer.bias.astype(jnp.float32)
+            out = out + layer.bias.astype(out.dtype)
         if activation is not None:
             out = {"relu": jax.nn.relu, "gelu": jax.nn.gelu, "silu": jax.nn.silu}[
                 activation
-            ](out)
+            ](out.astype(jnp.float32))
         if residual is not None:
-            out = out + residual.astype(jnp.float32)
+            out = out + residual.astype(out.dtype)
         out = out.astype(x.dtype)
     if lora is not None:
         if activation is not None:

@@ -92,6 +92,71 @@ def _decode_batch(params, cfg: ModelConfig, tokens, lengths, caches):
     return logits[:, -1, :], caches
 
 
+class _ShardedBackend:
+    """Forward backend for a TP-sharded model (eetq_tpu.dist.ShardedModel).
+
+    Runs the engine's prefill/decode through shard_map'd TP forwards:
+    tensor parallelism only (requires dp == 1 — prefill is batch-1 and slot
+    batching is lock-step, so the data axis must be trivial)."""
+
+    def __init__(self, model):
+        from eetq_tpu.dist.sharding import DATA_AXIS, make_forward_fn
+
+        if model.mesh.shape[DATA_AXIS] != 1:
+            raise ValueError("sharded Engine requires a dp=1 (pure TP) mesh")
+        self.model = model
+        self.params = model.params
+        self.cfg = model.cfg
+        self._fwd_scalar = make_forward_fn(model)
+        self._fwd_rows = make_forward_fn(model, per_row_offset=True)
+
+    def place_caches(self, caches):
+        """Place KV caches with the mesh sharding (heads over the model
+        axis) so slot-insertion ops see consistently-sharded operands."""
+        from jax.sharding import NamedSharding
+
+        from eetq_tpu.dist.sharding import cache_spec
+
+        sh = NamedSharding(self.model.mesh, cache_spec())
+        return jax.tree.map(lambda a: jax.device_put(a, sh), caches)
+
+    def prefill(self, tokens, true_len, bucket, caches):
+        s = tokens.shape[1]
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (1, s))
+        logits, caches = self._fwd_scalar(
+            self.params, tokens, positions, caches, jnp.int32(0)
+        )
+        last = jax.lax.dynamic_index_in_dim(
+            logits[0], true_len - 1, axis=0, keepdims=False
+        )
+        return last, caches
+
+    def decode(self, tokens, lengths, caches):
+        logits, caches = self._fwd_rows(
+            self.params, tokens, lengths[:, None], caches, lengths
+        )
+        return logits[:, -1, :], caches
+
+
+class _LocalBackend:
+    """Forward backend for single-device (params, cfg)."""
+
+    def __init__(self, params, cfg):
+        self.params = params
+        self.cfg = cfg
+
+    def place_caches(self, caches):
+        return caches
+
+    def prefill(self, tokens, true_len, bucket, caches):
+        return _prefill_bucketed(
+            self.params, self.cfg, tokens, true_len, bucket, caches
+        )
+
+    def decode(self, tokens, lengths, caches):
+        return _decode_batch(self.params, self.cfg, tokens, lengths, caches)
+
+
 @functools.partial(
     jax.jit, static_argnames=("upto_pad",), donate_argnames=("big",)
 )
@@ -130,13 +195,20 @@ class Engine:
     def __init__(
         self,
         params: ModelParams,
-        cfg: ModelConfig,
+        cfg: ModelConfig | None = None,
         max_batch: int = 8,
         max_len: int = 2048,
         prompt_buckets: tuple[int, ...] = DEFAULT_BUCKETS,
         kv_dtype=jnp.bfloat16,
         seed: int = 0,
     ):
+        # `params` may be a plain ModelParams (with cfg) or a TP-sharded
+        # model (eetq_tpu.dist.ShardedModel; cfg comes from it)
+        if cfg is None:
+            self._backend = _ShardedBackend(params)
+            params, cfg = self._backend.params, self._backend.cfg
+        else:
+            self._backend = _LocalBackend(params, cfg)
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -145,7 +217,9 @@ class Engine:
             sorted(b for b in prompt_buckets if b <= self.max_len)
         ) or (self.max_len,)
         self.kv_dtype = kv_dtype
-        self.caches = init_caches(cfg, max_batch, self.max_len, kv_dtype)
+        self.caches = self._backend.place_caches(
+            init_caches(cfg, max_batch, self.max_len, kv_dtype)
+        )
         self._key = jax.random.PRNGKey(seed)
         self._uid = itertools.count()
         self.queue: deque[Request] = deque()
@@ -214,10 +288,11 @@ class Engine:
         bucket = self._bucket_for(n)
         toks = np.zeros((1, bucket), np.int32)
         toks[0, :n] = req.prompt
-        scratch = init_caches(self.cfg, 1, self.max_len, self.kv_dtype)
-        logits, scratch = _prefill_bucketed(
-            self.params, self.cfg, jnp.asarray(toks), jnp.int32(n), bucket,
-            scratch,
+        scratch = self._backend.place_caches(
+            init_caches(self.cfg, 1, self.max_len, self.kv_dtype)
+        )
+        logits, scratch = self._backend.prefill(
+            jnp.asarray(toks), jnp.int32(n), bucket, scratch
         )
         upto = min(bucket, self.max_len)
         self.caches = [
@@ -259,9 +334,7 @@ class Engine:
         # never committed and their cache rows are overwritten on reuse.
         lengths = jnp.asarray(np.maximum(self.lengths, 1), jnp.int32)
         tokens = jnp.asarray(self.next_token[:, None], jnp.int32)
-        logits, self.caches = _decode_batch(
-            self.params, self.cfg, tokens, lengths, self.caches
-        )
+        logits, self.caches = self._backend.decode(tokens, lengths, self.caches)
         self._key, sub = jax.random.split(self._key)
         # temperature/top_k are per-request; sample greedily in one batch
         # for the common case, individually for sampled requests.

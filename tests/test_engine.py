@@ -109,3 +109,50 @@ def test_sampled_request_deterministic_seeded(params):
     eng2.run()
     assert eng1.result(0) == eng2.result(0)
     assert all(0 <= t < CFG.vocab_size for t in eng1.result(0))
+
+
+def test_sharded_engine_tp(params):
+    """Continuous batching over a TP-sharded model: same requests, outputs
+    agree with the single-device engine (up to shard_map summation-order
+    jitter, which can flip argmax on a random tiny model's sub-1e-2
+    margins — allow a small mismatch tail)."""
+    import dataclasses
+
+    from eetq_tpu.dist import make_mesh
+    from eetq_tpu.models import random_dense_params
+    from eetq_tpu.surgery.tp_reshard import quantize_params_tp, shard_quantized
+
+    tp = 2
+    if len(jax.devices()) < tp:
+        pytest.skip("needs >= 2 devices")
+    dense = random_dense_params(CFG, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    qp = quantize_params_tp(dense, CFG, tp=tp)
+    mesh = make_mesh(tp=tp, dp=1)
+    model = shard_quantized(qp, CFG, mesh)
+
+    prompts = [[5, 6, 7], [11] * 10, [1, 2]]
+    eng_sh = Engine(model, max_batch=2, max_len=64, prompt_buckets=(16,))
+    outs_sh = eng_sh.generate_all(prompts, max_new_tokens=6)
+
+    eng_local = Engine(qp, CFG, max_batch=2, max_len=64, prompt_buckets=(16,))
+    outs_local = eng_local.generate_all(prompts, max_new_tokens=6)
+
+    total = mismatches = 0
+    for a, b in zip(outs_sh, outs_local):
+        assert len(a) == len(b) == 6
+        for x, y in zip(a, b):
+            total += 1
+            mismatches += x != y
+    assert mismatches <= total // 3, (outs_sh, outs_local)
+
+
+def test_sharded_engine_rejects_dp(params):
+    from eetq_tpu.dist import make_mesh, shard_model
+    from eetq_tpu.models import random_dense_params
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    dense = random_dense_params(CFG, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    model = shard_model(dense, CFG, make_mesh(tp=2, dp=2), quantize=True)
+    with pytest.raises(ValueError):
+        Engine(model, max_batch=2, max_len=64)
