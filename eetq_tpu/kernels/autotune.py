@@ -92,15 +92,18 @@ def choose_config(m: int, kp: int, np_: int) -> MatmulConfig:
             return MatmulConfig(bm=bm, bn=bn, bk=above[0])
         return MatmulConfig(bm=bm, bn=bn, bk=divisors[-1] if divisors else kt)
 
-    # Prefill GEMM regime: MXU-bound. Large square-ish blocks, deep-K.
+    # Prefill GEMM regime: MXU-bound. v5e-measured (llama2-7b shapes at
+    # M=1024): bm=256 beats bm=512 (smaller output tile -> better pipeline
+    # overlap), bn=512, and the deepest K block wins (bk=2048: qkv 167 vs
+    # 143 TF/s at the old 512x512x1024 choice).
     best = None
-    for bm in (512, 256, 128):
+    for bm in (256, 128):
         if bm > max(128, 2 * m):
             continue  # don't waste compute on padding rows
         for bn in (512, 256):
             if np_ % bn != 0:
                 continue
-            for bk in (1024, 512, 256):
+            for bk in (2048, 1024, 512, 256):
                 if kp % bk != 0:
                     continue
                 cfg = MatmulConfig(bm, bn, bk)
