@@ -173,12 +173,18 @@ def _kernel_body(
         if r_ref is not None:
             res = r_ref[:].astype(jnp.float32)
             r = r + res if epilogue.residual == "add" else r * res
-        out_ref[:] = r.astype(out_dtype)
+        # out may carry FEWER rows than the compute block (decode: m < bm,
+        # emitted exactly so no XLA row-slice of the custom-call output —
+        # those materialize as real copies, ~2 ms/step on llama2-7b decode)
+        out_rows = out_ref.shape[-2]
+        out_ref[:] = r[:out_rows].astype(out_dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "epilogue", "bits", "group_size", "interpret"),
+    static_argnames=(
+        "config", "epilogue", "bits", "group_size", "interpret", "out_rows"
+    ),
 )
 def w8a16_matmul_kernel_call(
     x: jax.Array,
@@ -191,6 +197,7 @@ def w8a16_matmul_kernel_call(
     interpret: bool = False,
     bits: int = 8,
     group_size: int | None = None,
+    out_rows: int | None = None,
 ) -> jax.Array:
     """Raw kernel invocation on pre-padded operands.
 
@@ -198,7 +205,10 @@ def w8a16_matmul_kernel_call(
     w_packed_data: int8 [Kp, Np] (bits=8) or [Kp/2, Np] (bits=4 split-half)
     scales: [1, Np] (per-channel) or [G, Np] (group-wise, g = Kp/G)
     bias: [1, Np] or None; residual: [Mp, Np] or None
-    Returns [Mp, Np] in x.dtype.
+    out_rows: emit only the first out_rows rows (requires Mp == bm, i.e. a
+      single row-block grid — the decode regime). Avoids the caller slicing
+      the custom-call output, which XLA materializes as a copy.
+    Returns [Mp or out_rows, Np] in x.dtype.
     """
     mp, kp = x.shape
     np_ = w_packed_data.shape[-1]
@@ -261,6 +271,15 @@ def w8a16_matmul_kernel_call(
         in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)))
         operands.append(residual)
 
+    out_m, out_m_block = mp, bm
+    if out_rows is not None and out_rows != mp:
+        if nm != 1 or out_rows > bm:
+            raise ValueError(
+                f"out_rows={out_rows} requires a single row block (mp={mp}, "
+                f"bm={bm})"
+            )
+        out_m = out_m_block = out_rows
+
     kernel = functools.partial(
         _kernel_body, nk, epilogue, x.dtype, bits, group_in_loop
     )
@@ -275,8 +294,8 @@ def w8a16_matmul_kernel_call(
         kernel,
         grid=(nm, nn, nk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
+        out_specs=pl.BlockSpec((out_m_block, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((out_m, np_), x.dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),

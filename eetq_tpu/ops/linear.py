@@ -83,11 +83,18 @@ def _w8a16_matmul_core(
         activation=activation,
         residual=None if residual is None else residual_mode,
     )
+    # Emit exactly m rows when the grid has a single row-block (decode):
+    # slicing a Pallas output in XLA materializes a real copy per call.
+    emit_rows = m if (mp != m and mp == config.bm) else None
     out = w8a16_matmul_kernel_call(
         xp, qdata, scales_p, bias_p, res_p, config, epilogue, interpret,
-        bits=bits,
+        bits=bits, out_rows=emit_rows,
     )
-    return out[:m, :n]
+    if out.shape[0] != m:
+        out = out[:m]
+    if n != np_:
+        out = out[:, :n]
+    return out
 
 
 def _core_fwd(x2, qdata, scales, bias, residual, *statics):
