@@ -1,3 +1,4 @@
+from eetq_tpu.dist.ring_attention import ring_attention, ring_attention_sharded
 from eetq_tpu.dist.sharding import (
     make_mesh,
     ShardedModel,
@@ -8,6 +9,8 @@ from eetq_tpu.dist.sharding import (
 )
 
 __all__ = [
+    "ring_attention",
+    "ring_attention_sharded",
     "make_mesh",
     "ShardedModel",
     "shard_model",
