@@ -74,20 +74,25 @@ def decoder_layer(
     use_flash: bool = True,
     tp: int = 1,
     tp_axis: str | None = None,
+    a8: bool = False,
 ) -> tuple[jax.Array, KVCache | None]:
-    """One decoder layer. Under tensor parallelism (tp > 1, inside
-    shard_map): p holds the LOCAL shard — qkv/gateup column-parallel (local
-    output columns), o_proj/down row-parallel (local input rows) — and the
-    Megatron-style psum combines the row-parallel partial sums. Attention
-    runs entirely on local heads (zero communication; GQA q-heads co-located
-    with their kv head)."""
+    """One decoder layer.
+
+    a8 routes the (compute-bound) projections through the W8A8
+    int8-activation path — enable for prefill only.
+
+    Under tensor parallelism (tp > 1, inside shard_map): p holds the LOCAL
+    shard — qkv/gateup column-parallel (local output columns), o_proj/down
+    row-parallel (local input rows) — and the Megatron-style psum combines
+    the row-parallel partial sums. Attention runs entirely on local heads
+    (zero communication; GQA q-heads co-located with their kv head)."""
     b, s, h = x.shape
     hq, hkv, d = cfg.num_heads // tp, cfg.num_kv_heads // tp, cfg.head_dim
 
     # --- attention block ---
     residual = x
     y = _norm(x, p.input_norm, cfg)
-    qkv = linear_apply(p.qkv, y, lora=p.qkv_lora)  # [b, s, (hq+2hkv)*d] local
+    qkv = linear_apply(p.qkv, y, lora=p.qkv_lora, a8=a8)  # [b, s, (hq+2hkv)*d] local
     q, k, v = jnp.split(qkv, [hq * d, (hq + hkv) * d], axis=-1)
     q = q.reshape(b, s, hq, d)
     k = k.reshape(b, s, hkv, d)
@@ -101,19 +106,19 @@ def decoder_layer(
     # (gemm_bias_act_residual parity, fpA_intB_gemm_template.h:804), but on
     # v5e the extra residual block stream measured ~0.3 ms/step SLOWER than
     # XLA's standalone add at decode shapes — so the add stays outside.
-    o = linear_apply(p.o_proj, attn.reshape(b, s, hq * d), lora=p.o_lora)
+    o = linear_apply(p.o_proj, attn.reshape(b, s, hq * d), lora=p.o_lora, a8=a8)
     x = residual + _maybe_psum(o, tp_axis)
 
     # --- mlp block (fused gate/up, gated activation) ---
     residual = x
     y = _norm(x, p.post_norm, cfg)
-    gateup = linear_apply(p.gateup, y)  # [b, s, 2*i_local]
+    gateup = linear_apply(p.gateup, y, a8=a8)  # [b, s, 2*i_local]
     gate, up = jnp.split(gateup, 2, axis=-1)
     act = {"silu": jax.nn.silu, "gelu": jax.nn.gelu, "relu": jax.nn.relu}[
         cfg.activation
     ]
     h_mlp = (act(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype)
-    down = linear_apply(p.down, h_mlp)
+    down = linear_apply(p.down, h_mlp, a8=a8)
     x = residual + _maybe_psum(down, tp_axis)
     return x, cache
 
@@ -128,6 +133,7 @@ def forward_inner(
     use_flash: bool = True,
     tp: int = 1,
     tp_axis: str | None = None,
+    a8: bool = False,
 ) -> tuple[jax.Array, list[KVCache] | None]:
     """Un-jitted forward body; called directly inside shard_map by
     eetq_tpu.dist (tp > 1) and via the jitted `forward` single-device."""
@@ -141,7 +147,7 @@ def forward_inner(
         cache_i = caches[i] if caches is not None else None
         x, cache_i = decoder_layer(
             layer, cfg, x, positions, cos_sin, cache_i, offset, use_flash,
-            tp=tp, tp_axis=tp_axis,
+            tp=tp, tp_axis=tp_axis, a8=a8,
         )
         if new_caches is not None:
             new_caches.append(cache_i)
@@ -159,7 +165,7 @@ def forward_inner(
     return logits.astype(jnp.float32), new_caches
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_flash"))
+@functools.partial(jax.jit, static_argnames=("cfg", "use_flash", "a8"))
 def forward(
     params: ModelParams,
     cfg: ModelConfig,
@@ -168,10 +174,12 @@ def forward(
     caches: list[KVCache] | None,
     offset,
     use_flash: bool = True,
+    a8: bool = False,
 ) -> tuple[jax.Array, list[KVCache] | None]:
     """Single-device forward. Returns (logits [B, S, V] f32, caches)."""
     return forward_inner(
-        params, cfg, tokens, positions, caches, offset, use_flash=use_flash
+        params, cfg, tokens, positions, caches, offset, use_flash=use_flash,
+        a8=a8,
     )
 
 

@@ -122,16 +122,35 @@ def linear_apply(
     activation: str | None = None,
     lora: LoraAdapter | None = None,
     residual: jax.Array | None = None,
+    a8: bool = False,
 ) -> jax.Array:
     """Forward through a (quantized or dense) linear with optional fused
-    activation, fused residual add, and LoRA side path."""
+    activation, fused residual add, and LoRA side path.
+
+    a8=True uses the W8A8 path (dynamic per-token int8 activations, s8xs8
+    MXU at 2x bf16 throughput) when the layer is an int8 per-channel
+    QuantLinear — the compute-bound prefill accelerator; ignored otherwise.
+    """
     if lora is not None and residual is not None:
         raise ValueError("fused residual with LoRA is not supported")
     if isinstance(layer, QuantLinear):
-        out = w8a16_matmul(
-            x, layer.qweight, layer.scales, bias=layer.bias,
-            activation=activation, residual=residual,
-        )
+        if (
+            a8
+            and residual is None
+            and layer.qweight.bits == 8
+            and layer.scales.ndim == 1
+        ):
+            from eetq_tpu.ops import w8a8_matmul
+
+            out = w8a8_matmul(
+                x, layer.qweight, layer.scales, bias=layer.bias,
+                activation=activation,
+            )
+        else:
+            out = w8a16_matmul(
+                x, layer.qweight, layer.scales, bias=layer.bias,
+                activation=activation, residual=residual,
+            )
     else:
         # bf16 output (MXU still accumulates in f32 internally); an f32
         # output dtype would double the HBM write traffic of large prefill

@@ -12,6 +12,7 @@ Here every op is a jitted JAX function:
 """
 
 from eetq_tpu.ops.linear import w8a16_matmul
+from eetq_tpu.ops.linear8 import w8a8_matmul
 from eetq_tpu.quant import symmetric_quantize as quantize_weights
 from eetq_tpu.layout import pack_weights
 from eetq_tpu.ops.rope import rope, make_cos_sin_cache
@@ -19,6 +20,7 @@ from eetq_tpu.ops.rmsnorm import rmsnorm
 
 __all__ = [
     "w8a16_matmul",
+    "w8a8_matmul",
     "quantize_weights",
     "pack_weights",
     "rope",

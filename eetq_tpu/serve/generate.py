@@ -29,13 +29,17 @@ def _sample(logits, key, cfg, temperature: float, top_k: int):
     return jax.random.categorical(key, logits).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_flash"))
-def prefill(params, cfg, tokens, caches, use_flash: bool = True):
-    """tokens: [B, S] full prompt. Returns (last-token logits [B, V], caches)."""
+@functools.partial(jax.jit, static_argnames=("cfg", "use_flash", "a8"))
+def prefill(params, cfg, tokens, caches, use_flash: bool = True,
+            a8: bool = False):
+    """tokens: [B, S] full prompt. Returns (last-token logits [B, V], caches).
+
+    a8=True runs projections through the W8A8 int8-activation path (2x MXU
+    throughput, small extra quantization error) — prefill only."""
     b, s = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
     logits, caches = forward(
-        params, cfg, tokens, positions, caches, 0, use_flash=use_flash
+        params, cfg, tokens, positions, caches, 0, use_flash=use_flash, a8=a8
     )
     return logits[:, -1, :], caches
 
