@@ -283,13 +283,11 @@ def w8a16_matmul_kernel_call(
     kernel = functools.partial(
         _kernel_body, nk, epilogue, x.dtype, bits, group_in_loop
     )
-    x_bytes = x.dtype.itemsize
-    w_bytes = kp_data * np_
-    cost = pl.CostEstimate(
-        flops=2 * mp * np_ * kp,
-        bytes_accessed=mp * kp * x_bytes + w_bytes + mp * np_ * x_bytes + np_ * 4,
-        transcendentals=0,
-    )
+    # NO cost_estimate: supplying one makes XLA's memory-space-assignment
+    # stage whole weights into VMEM via serialized async slices ahead of the
+    # kernel (+2.1 ms/step on llama2-7b decode, traced); without it the
+    # kernel streams HBM itself at 750-870 GB/s. Measured: 12.1 -> 11.0
+    # ms/step.
     return pl.pallas_call(
         kernel,
         grid=(nm, nn, nk),
@@ -300,7 +298,6 @@ def w8a16_matmul_kernel_call(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-        cost_estimate=cost,
         interpret=interpret,
     )(*operands)
 

@@ -121,11 +121,7 @@ def w8a8_matmul_kernel_call(
         operands.append(residual)
 
     kernel = functools.partial(_w8a8_kernel, nk, epilogue, out_dtype)
-    cost = pl.CostEstimate(
-        flops=2 * mp * np_ * kp,
-        bytes_accessed=mp * kp + kp * np_ + mp * np_ * 2,
-        transcendentals=0,
-    )
+    # no cost_estimate — see w8a16.py (MSA weight staging regression)
     return pl.pallas_call(
         kernel,
         grid=(nm, nn, nk),
@@ -136,7 +132,6 @@ def w8a8_matmul_kernel_call(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-        cost_estimate=cost,
         interpret=interpret,
     )(*operands)
 
