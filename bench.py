@@ -42,10 +42,12 @@ def _gen_layer(cfg: ModelConfig, key, quantized: bool) -> LayerParams:
     ks = jax.random.split(key, 4)
     h = cfg.hidden_size
 
+    bits = int(os.environ.get("EETQ_BENCH_BITS", 8))
+
     def lin(k, kin, kout):
         w = (jax.random.normal(k, (kin, kout), jnp.bfloat16) * (kin**-0.5))
         if quantized:
-            ql = quantize_linear(w.astype(jnp.float32))
+            ql = quantize_linear(w.astype(jnp.float32), bits=bits)
             return ql
         return DenseLinear(weight=w)
 
@@ -158,6 +160,7 @@ def bench_decode(params, cfg, batch, prompt_len, new_tokens, sync_s) -> dict:
 
 def main():
     preset = os.environ.get("EETQ_BENCH_PRESET", "llama2-7b")
+    bits = int(os.environ.get("EETQ_BENCH_BITS", 8))
     prompt_len = int(os.environ.get("EETQ_BENCH_PROMPT", 1024))
     new_tokens = int(os.environ.get("EETQ_BENCH_NEW_TOKENS", 50))
     batch = int(os.environ.get("EETQ_BENCH_BATCH", 1))
@@ -187,7 +190,7 @@ def main():
     log(f"speedup: {speedup:.3f}x  (w8a16 {r_q['decode_tok_s']:.2f} tok/s vs "
         f"bf16 {r_bf16['decode_tok_s']:.2f} tok/s)")
     print(json.dumps({
-        "metric": f"{preset}_w8a16_decode_tok_s_b{batch}_p{prompt_len}",
+        "metric": f"{preset}_w{bits}a16_decode_tok_s_b{batch}_p{prompt_len}",
         "value": round(r_q["decode_tok_s"], 2),
         "unit": "tok/s",
         "vs_baseline": round(speedup / 1.8, 4),
