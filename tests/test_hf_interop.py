@@ -164,3 +164,34 @@ def test_quantized_lm_head_roundtrip(tmp_path, rng):
     lg1, _ = forward(qp, cfg, toks, pos, None, jnp.int32(0))
     lg2, _ = forward(loaded, cfg2, toks, pos, None, jnp.int32(0))
     np.testing.assert_allclose(np.asarray(lg1), np.asarray(lg2), atol=3e-2)
+
+
+@pytest.mark.parametrize("bits,g", [(4, None), (8, 64), (4, 64)])
+def test_int4_groupwise_checkpoint_roundtrip(tmp_path, rng, bits, g):
+    """W4A16 and group-wise checkpoints round-trip with identical logits."""
+    import jax
+
+    from eetq_tpu.models import random_dense_params
+    from eetq_tpu.models.config import ModelConfig
+    from eetq_tpu.models.hf import load_quantized, save_quantized
+    from eetq_tpu.models.transformer import forward
+    from eetq_tpu.surgery.quantize import eet_quantize
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=1,
+        num_heads=4, num_kv_heads=2, head_dim=16, max_position=32,
+    )
+    dense = random_dense_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    qp = eet_quantize(dense, bits=bits, group_size=g)
+    d = str(tmp_path / f"b{bits}g{g}")
+    save_quantized(qp, cfg, d)
+    import json as _json
+
+    with open(f"{d}/config.json") as f:
+        assert _json.load(f)["quantization_config"]["bits"] == bits
+    cfg2, loaded = load_quantized(d)
+    toks = jnp.arange(8, dtype=jnp.int32)[None, :]
+    pos = jnp.arange(8, dtype=jnp.int32)[None, :]
+    lg1, _ = forward(qp, cfg, toks, pos, None, jnp.int32(0))
+    lg2, _ = forward(loaded, cfg2, toks, pos, None, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(lg1), np.asarray(lg2), atol=3e-2)
