@@ -61,9 +61,9 @@ class Request:
     done: bool = False
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "bucket"))
+@functools.partial(jax.jit, static_argnames=("cfg", "bucket", "a8"))
 def _prefill_bucketed(params, cfg: ModelConfig, tokens, true_len, bucket: int,
-                      caches):
+                      caches, a8: bool = False):
     """Prefill one request padded to `bucket`. tokens [1, bucket]; caches are
     single-row [1, max_len] scratch. Returns (last REAL token's logits
     [V], caches). Right-padding is inert: causal masking means real tokens
@@ -72,7 +72,7 @@ def _prefill_bucketed(params, cfg: ModelConfig, tokens, true_len, bucket: int,
     s = tokens.shape[1]
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (1, s))
     logits, caches = forward_inner(
-        params, cfg, tokens, positions, caches, jnp.int32(0)
+        params, cfg, tokens, positions, caches, jnp.int32(0), a8=a8
     )
     last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1, axis=0,
                                         keepdims=False)
@@ -141,16 +141,18 @@ class _ShardedBackend:
 class _LocalBackend:
     """Forward backend for single-device (params, cfg)."""
 
-    def __init__(self, params, cfg):
+    def __init__(self, params, cfg, a8_prefill: bool = False):
         self.params = params
         self.cfg = cfg
+        self.a8_prefill = a8_prefill
 
     def place_caches(self, caches):
         return caches
 
     def prefill(self, tokens, true_len, bucket, caches):
         return _prefill_bucketed(
-            self.params, self.cfg, tokens, true_len, bucket, caches
+            self.params, self.cfg, tokens, true_len, bucket, caches,
+            a8=self.a8_prefill,
         )
 
     def decode(self, tokens, lengths, caches):
@@ -201,14 +203,19 @@ class Engine:
         prompt_buckets: tuple[int, ...] = DEFAULT_BUCKETS,
         kv_dtype=jnp.bfloat16,
         seed: int = 0,
+        a8_prefill: bool = False,
     ):
         # `params` may be a plain ModelParams (with cfg) or a TP-sharded
-        # model (eetq_tpu.dist.ShardedModel; cfg comes from it)
+        # model (eetq_tpu.dist.ShardedModel; cfg comes from it).
+        # a8_prefill runs prefills through the W8A8 int8-activation path
+        # (2x MXU; small extra quantization error) — local backend only.
         if cfg is None:
+            if a8_prefill:
+                raise ValueError("a8_prefill is not supported for sharded models yet")
             self._backend = _ShardedBackend(params)
             params, cfg = self._backend.params, self._backend.cfg
         else:
-            self._backend = _LocalBackend(params, cfg)
+            self._backend = _LocalBackend(params, cfg, a8_prefill=a8_prefill)
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
