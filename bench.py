@@ -170,14 +170,16 @@ def main():
     sync_s = measure_sync_overhead()
     log(f"host-sync overhead: {sync_s*1e3:.1f}ms (subtracted)")
 
-    log("building bf16 model...")
-    t0 = time.perf_counter()
-    dense = build_params(cfg, quantized=False)
-    log(f"  built in {time.perf_counter() - t0:.1f}s")
-    r_bf16 = bench_decode(dense, cfg, batch, prompt_len, new_tokens, sync_s)
-    log(f"bf16:  {r_bf16}")
-    del dense
-    gc.collect()
+    r_bf16 = None
+    if not os.environ.get("EETQ_BENCH_SKIP_BF16"):
+        log("building bf16 model...")
+        t0 = time.perf_counter()
+        dense = build_params(cfg, quantized=False)
+        log(f"  built in {time.perf_counter() - t0:.1f}s")
+        r_bf16 = bench_decode(dense, cfg, batch, prompt_len, new_tokens, sync_s)
+        log(f"bf16:  {r_bf16}")
+        del dense
+        gc.collect()
 
     log("building W8A16 model...")
     t0 = time.perf_counter()
@@ -186,15 +188,17 @@ def main():
     r_q = bench_decode(quant, cfg, batch, prompt_len, new_tokens, sync_s)
     log(f"w8a16: {r_q}")
 
-    speedup = r_q["decode_tok_s"] / r_bf16["decode_tok_s"]
-    log(f"speedup: {speedup:.3f}x  (w8a16 {r_q['decode_tok_s']:.2f} tok/s vs "
-        f"bf16 {r_bf16['decode_tok_s']:.2f} tok/s)")
-    print(json.dumps({
+    result = {
         "metric": f"{preset}_w{bits}a16_decode_tok_s_b{batch}_p{prompt_len}",
         "value": round(r_q["decode_tok_s"], 2),
         "unit": "tok/s",
-        "vs_baseline": round(speedup / 1.8, 4),
-    }))
+    }
+    if r_bf16 is not None:
+        speedup = r_q["decode_tok_s"] / r_bf16["decode_tok_s"]
+        log(f"speedup: {speedup:.3f}x  (w8a16 {r_q['decode_tok_s']:.2f} tok/s "
+            f"vs bf16 {r_bf16['decode_tok_s']:.2f} tok/s)")
+        result["vs_baseline"] = round(speedup / 1.8, 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
