@@ -47,7 +47,9 @@ def _gen_layer(cfg: ModelConfig, key, quantized: bool) -> LayerParams:
     def lin(k, kin, kout):
         w = (jax.random.normal(k, (kin, kout), jnp.bfloat16) * (kin**-0.5))
         if quantized:
-            ql = quantize_linear(w.astype(jnp.float32), bits=bits)
+            # pass bf16 directly: the jitted quantizer fuses the f32 cast,
+            # avoiding a materialized f32 copy (matters for 13B-on-16GB)
+            ql = quantize_linear(w, bits=bits)
             return ql
         return DenseLinear(weight=w)
 
@@ -132,14 +134,16 @@ def bench_decode(params, cfg, batch, prompt_len, new_tokens, sync_s) -> dict:
     compile_decode = time.perf_counter() - t0
     log(f"  compile+first: prefill {compile_prefill:.1f}s decode {compile_decode:.1f}s")
 
-    # timed prefill
-    token, caches = run()
-    _fetch(token)
+    # timed prefill (free the warmup caches first: two live cache sets push
+    # 13B-on-16GB over the edge)
+    del token, caches
+    gc.collect()
     t0 = time.perf_counter()
     logits2, _c2 = prefill(params, cfg, prompt, init_caches(cfg, batch, max_len))
     _fetch(logits2)
     prefill_s = max(time.perf_counter() - t0 - sync_s, 1e-9)
     del logits2, _c2
+    gc.collect()
 
     # timed scanned decode (steps = new_tokens - 1 after the prefill token)
     token, caches = run()
