@@ -113,13 +113,12 @@ def _kernel_body(
     out_dtype,
     bits: int,
     group_in_loop: int | None,  # g when scales applied inside the k-loop
+    prenorm: tuple[float, float] | None,  # (eps, 1/logical_k) when fused
     *refs,
 ):
     """Grid (nm, nn, nk). Ref order:
-    int8: x, w, s, [s_hi?], [bias], [residual], out, acc
-    int4: x_lo, x_hi, w, s_lo, [s_hi], [bias], [residual], out, acc
-    For int4 + group-in-loop, s_lo/s_hi are the group-scale blocks of the
-    low/high K halves; otherwise s_hi is absent.
+    int8: x, w, s, [gamma], [bias], [residual], out, acc
+    int4: x_lo, x_hi, w, s, [bias], [residual], out, acc
     """
     refs = list(refs)
     acc_ref = refs.pop()
@@ -132,6 +131,7 @@ def _kernel_body(
         x_hi_ref = None
         refs = refs[2:]
     s_ref = refs.pop(0)
+    gamma_ref = refs.pop(0) if prenorm is not None else None
     b_ref = refs.pop(0) if epilogue.has_bias else None
     r_ref = refs.pop(0) if epilogue.residual else None
     assert not refs
@@ -147,6 +147,23 @@ def _kernel_body(
     bk = w_ref.shape[0]
     s_in = None if g is None else s_ref
     row_base = None if g is None else (k * bk) // g
+
+    def load_x(ref):
+        x = ref[:]
+        if prenorm is None:
+            return x
+        # Fused RMSNorm prologue: the block holds the FULL logical row
+        # (whole-K decode blocks), so the norm is computed in-register —
+        # removes the separate XLA rmsnorm + HBM round-trip of y. Padded
+        # columns are zeros and don't perturb the sum; divide by the
+        # LOGICAL k. Recomputed per column-block (trivial VPU work vs the
+        # 1 MiB weight DMA).
+        eps, inv_k = prenorm
+        xf = x.astype(jnp.float32)
+        var = jnp.sum(xf * xf, axis=-1, keepdims=True) * inv_k
+        y = xf * jax.lax.rsqrt(var + eps) * gamma_ref[:].astype(jnp.float32)
+        return y.astype(dtype)
+
     if bits == 4:
         # Mosaic has no int8 vector shifts; widen to i32 (native lane
         # width), sign-extend the nibbles there. int4 values |q| <= 8 are
@@ -159,7 +176,7 @@ def _kernel_body(
         hi_base = None if g is None else ((k + nk) * bk) // g
         _dot_scaled(x_hi_ref[:], hi, s_in, g, hi_base, acc_ref, dtype)
     else:
-        _dot_scaled(x_lo_ref[:], w_ref[:], s_in, g, row_base, acc_ref, dtype)
+        _dot_scaled(load_x(x_lo_ref), w_ref[:], s_in, g, row_base, acc_ref, dtype)
 
     @pl.when(k == nk - 1)
     def _epilogue():
@@ -183,7 +200,8 @@ def _kernel_body(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "config", "epilogue", "bits", "group_size", "interpret", "out_rows"
+        "config", "epilogue", "bits", "group_size", "interpret", "out_rows",
+        "prenorm",
     ),
 )
 def w8a16_matmul_kernel_call(
@@ -198,6 +216,8 @@ def w8a16_matmul_kernel_call(
     bits: int = 8,
     group_size: int | None = None,
     out_rows: int | None = None,
+    prenorm: tuple[float, float] | None = None,
+    prenorm_gamma: jax.Array | None = None,
 ) -> jax.Array:
     """Raw kernel invocation on pre-padded operands.
 
@@ -208,6 +228,8 @@ def w8a16_matmul_kernel_call(
     out_rows: emit only the first out_rows rows (requires Mp == bm, i.e. a
       single row-block grid — the decode regime). Avoids the caller slicing
       the custom-call output, which XLA materializes as a copy.
+    prenorm: (eps, 1/logical_k) to fuse an RMSNorm prologue on x (requires
+      whole-K blocks: Kp == bk, int8, with prenorm_gamma [1, Kp]).
     Returns [Mp or out_rows, Np] in x.dtype.
     """
     mp, kp = x.shape
@@ -242,6 +264,12 @@ def w8a16_matmul_kernel_call(
             raise ValueError("int4 group-wise requires bk % group == 0")
         group_in_loop = g
 
+    if prenorm is not None:
+        if nk != 1 or bits != 8 or prenorm_gamma is None:
+            raise ValueError(
+                "prenorm fusion requires whole-K int8 blocks and a gamma"
+            )
+
     in_specs = [pl.BlockSpec((bm, bk), lambda i, j, k: (i, k))]
     operands: list[jax.Array] = [x]
     if bits == 4:
@@ -262,6 +290,10 @@ def w8a16_matmul_kernel_call(
         in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k: (0, j)))
         operands.append(scales)
 
+    if prenorm is not None:
+        in_specs.append(pl.BlockSpec((1, bk), lambda i, j, k: (0, k)))
+        operands.append(prenorm_gamma.reshape(1, kp))
+
     if epilogue.has_bias:
         assert bias is not None
         in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k: (0, j)))
@@ -281,7 +313,7 @@ def w8a16_matmul_kernel_call(
         out_m = out_m_block = out_rows
 
     kernel = functools.partial(
-        _kernel_body, nk, epilogue, x.dtype, bits, group_in_loop
+        _kernel_body, nk, epilogue, x.dtype, bits, group_in_loop, prenorm
     )
     # NO cost_estimate: supplying one makes XLA's memory-space-assignment
     # stage whole weights into VMEM via serialized async slices ahead of the

@@ -91,8 +91,16 @@ def decoder_layer(
 
     # --- attention block ---
     residual = x
-    y = _norm(x, p.input_norm, cfg)
-    qkv = linear_apply(p.qkv, y, lora=p.qkv_lora, a8=a8)  # [b, s, (hq+2hkv)*d] local
+    # RMSNorm is handed to linear_apply as a prenorm: fused into the
+    # kernel prologue in the decode regime (whole-K blocks), jnp otherwise.
+    gamma1 = p.input_norm + 1.0 if cfg.rmsnorm_unit_offset else p.input_norm
+    if p.qkv_lora is None:
+        qkv = linear_apply(
+            p.qkv, x, a8=a8, prenorm=(gamma1, cfg.rms_eps)
+        )  # [b, s, (hq+2hkv)*d] local
+    else:
+        y = _norm(x, p.input_norm, cfg)
+        qkv = linear_apply(p.qkv, y, lora=p.qkv_lora, a8=a8)
     q, k, v = jnp.split(qkv, [hq * d, (hq + hkv) * d], axis=-1)
     q = q.reshape(b, s, hq, d)
     k = k.reshape(b, s, hkv, d)
@@ -111,8 +119,10 @@ def decoder_layer(
 
     # --- mlp block (fused gate/up, gated activation) ---
     residual = x
-    y = _norm(x, p.post_norm, cfg)
-    gateup = linear_apply(p.gateup, y, a8=a8)  # [b, s, 2*i_local]
+    gamma2 = p.post_norm + 1.0 if cfg.rmsnorm_unit_offset else p.post_norm
+    gateup = linear_apply(
+        p.gateup, x, a8=a8, prenorm=(gamma2, cfg.rms_eps)
+    )  # [b, s, 2*i_local]
     gate, up = jnp.split(gateup, 2, axis=-1)
     act = {"silu": jax.nn.silu, "gelu": jax.nn.gelu, "relu": jax.nn.relu}[
         cfg.activation

@@ -123,6 +123,7 @@ def linear_apply(
     lora: LoraAdapter | None = None,
     residual: jax.Array | None = None,
     a8: bool = False,
+    prenorm: tuple[jax.Array, float] | None = None,
 ) -> jax.Array:
     """Forward through a (quantized or dense) linear with optional fused
     activation, fused residual add, and LoRA side path.
@@ -130,9 +131,24 @@ def linear_apply(
     a8=True uses the W8A8 path (dynamic per-token int8 activations, s8xs8
     MXU at 2x bf16 throughput) when the layer is an int8 per-channel
     QuantLinear — the compute-bound prefill accelerator; ignored otherwise.
+
+    prenorm=(gamma, eps) applies rmsnorm(x, gamma, eps) before the matmul —
+    FUSED into the kernel prologue when the decode regime allows (whole-K
+    int8 blocks), a jnp op otherwise. Inference-only (not differentiable,
+    not combinable with LoRA).
     """
     if lora is not None and residual is not None:
         raise ValueError("fused residual with LoRA is not supported")
+    if prenorm is not None and lora is not None:
+        raise ValueError("prenorm with LoRA is not supported")
+
+    def _maybe_norm(x):
+        if prenorm is None:
+            return x
+        from eetq_tpu.ops import rmsnorm
+
+        return rmsnorm(x, prenorm[0], eps=prenorm[1])
+
     if isinstance(layer, QuantLinear):
         if (
             a8
@@ -143,15 +159,18 @@ def linear_apply(
             from eetq_tpu.ops import w8a8_matmul
 
             out = w8a8_matmul(
-                x, layer.qweight, layer.scales, bias=layer.bias,
+                _maybe_norm(x), layer.qweight, layer.scales, bias=layer.bias,
                 activation=activation,
             )
         else:
             out = w8a16_matmul(
                 x, layer.qweight, layer.scales, bias=layer.bias,
                 activation=activation, residual=residual,
+                prenorm_gamma=None if prenorm is None else prenorm[0],
+                prenorm_eps=1e-6 if prenorm is None else prenorm[1],
             )
     else:
+        x = _maybe_norm(x)
         # bf16 output (MXU still accumulates in f32 internally); an f32
         # output dtype would double the HBM write traffic of large prefill
         # activations for no accuracy gain.

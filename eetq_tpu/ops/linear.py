@@ -159,6 +159,8 @@ def w8a16_matmul(
     interpret: bool | None = None,
     use_kernel: bool = True,
     bits: int = 8,
+    prenorm_gamma: jax.Array | None = None,
+    prenorm_eps: float = 1e-6,
 ) -> jax.Array:
     """out = act(x @ dequant(qweight, scales) + bias) [+|*] residual.
 
@@ -176,6 +178,11 @@ def w8a16_matmul(
       use_kernel: False -> pure-jnp reference path (testing).
       bits: weight bit-width when passing a raw int8 array (ignored for
         PackedWeight, which knows its own).
+      prenorm_gamma: optional [K] RMSNorm gain — fuses
+        ``rmsnorm(x, gamma, prenorm_eps)`` into the kernel prologue when
+        the chosen config has whole-K int8 per-channel blocks (the decode
+        regime); otherwise the norm is applied as a jnp op first.
+        Inference-only (no custom VJP through the fused prologue).
     """
     if not isinstance(qweight, PackedWeight):
         qweight = pack_weights(qweight, bits=bits)
@@ -210,8 +217,59 @@ def w8a16_matmul(
     if interpret is None:
         interpret = _default_interpret()
 
+    if prenorm_gamma is not None:
+        kp_data, np_ = qweight.data.shape
+        fusible = (
+            use_kernel
+            and bits == 8
+            and group_size is None
+            and config.bk == kp_data
+        )
+        if fusible:
+            return _w8a16_prenorm_call(
+                x2, qweight.data, scales, bias, res2, prenorm_gamma,
+                k, n, activation, residual_mode, config, interpret,
+                prenorm_eps,
+            ).reshape(*lead, n)
+        from eetq_tpu.ops.rmsnorm import rmsnorm
+
+        x2 = rmsnorm(x2, prenorm_gamma, eps=prenorm_eps)
+
     out = _w8a16_matmul_core(
         x2, qweight.data, scales, bias, res2,
         k, n, bits, activation, residual_mode, config, interpret, use_kernel,
     )
     return out.reshape(*lead, n)
+
+
+def _w8a16_prenorm_call(
+    x2, qdata, scales, bias, residual, gamma,
+    k, n, activation, residual_mode, config, interpret, eps,
+):
+    """Kernel path with the RMSNorm prologue fused (inference-only)."""
+    m = x2.shape[0]
+    kp, np_ = qdata.shape
+    mp = -(-m // config.bm) * config.bm
+    xp = jnp.pad(x2, ((0, mp - m), (0, kp - k)))
+    gamma_p = jnp.pad(gamma.astype(jnp.float32), (0, kp - k))
+    scales_p = jnp.pad(scales, (0, np_ - n)).astype(jnp.float32)
+    bias_p = None if bias is None else jnp.pad(bias, (0, np_ - n))
+    res_p = None
+    if residual is not None:
+        res_p = jnp.pad(residual, ((0, mp - m), (0, np_ - n)))
+    epilogue = Epilogue(
+        has_bias=bias is not None,
+        activation=activation,
+        residual=None if residual is None else residual_mode,
+    )
+    emit_rows = m if (mp != m and mp == config.bm) else None
+    out = w8a16_matmul_kernel_call(
+        xp, qdata, scales_p, bias_p, res_p, config, epilogue, interpret,
+        bits=8, out_rows=emit_rows,
+        prenorm=(float(eps), 1.0 / float(k)), prenorm_gamma=gamma_p,
+    )
+    if out.shape[0] != m:
+        out = out[:m]
+    if n != np_:
+        out = out[:, :n]
+    return out

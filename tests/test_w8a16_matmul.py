@@ -145,3 +145,32 @@ def test_config_cache_and_regimes():
     assert cfg_prefill.bm >= 128
     assert choose_config(1, 5120, 13824) is cfg_decode  # lru cached
     assert MAX_DECODE_M == 8
+
+
+def test_prenorm_fusion_matches_separate(rng):
+    """Fused RMSNorm prologue == rmsnorm() then matmul, in both the fusible
+    (whole-K) and fallback configs."""
+    from eetq_tpu.kernels.autotune import MatmulConfig
+    from eetq_tpu.ops import rmsnorm
+
+    k, n = 512, 256
+    x = jnp.asarray(rng.standard_normal((4, k)).astype(np.float32), jnp.bfloat16)
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    gamma = jnp.asarray(rng.standard_normal((k,)).astype(np.float32))
+    q, s = symmetric_quantize(jnp.asarray(w))
+    pw = pack_weights(q)
+
+    ref = w8a16_matmul(rmsnorm(x, gamma, eps=1e-5), pw, s)
+    fused = w8a16_matmul(
+        x, pw, s, prenorm_gamma=gamma, prenorm_eps=1e-5,
+        config=MatmulConfig(bm=8, bn=256, bk=512),  # whole-K -> fused
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+    fallback = w8a16_matmul(
+        x, pw, s, prenorm_gamma=gamma, prenorm_eps=1e-5,
+        config=MatmulConfig(bm=8, bn=256, bk=256),  # nk=2 -> jnp fallback
+    )
+    np.testing.assert_array_equal(np.asarray(fallback), np.asarray(ref))
