@@ -163,14 +163,15 @@ class _LocalBackend:
     jax.jit, static_argnames=("upto_pad",), donate_argnames=("big",)
 )
 def _insert_rows(big: KVCache, small: KVCache, slot, upto_pad: int):
-    """Copy small[0, :upto_pad] into big[slot, :upto_pad] (one slot row)."""
-    k = jax.lax.dynamic_update_slice(
-        big.k, small.k[:, :upto_pad].astype(big.k.dtype), (slot, 0, 0, 0)
-    )
-    v = jax.lax.dynamic_update_slice(
-        big.v, small.v[:, :upto_pad].astype(big.v.dtype), (slot, 0, 0, 0)
-    )
-    return KVCache(k=k, v=v)
+    """Copy small[0, :upto_pad] into big[slot, :upto_pad] (one slot row).
+    Generic over cache leaves (covers int8 caches' scale arrays)."""
+
+    def ins(b, s):
+        upd = s[:, :upto_pad].astype(b.dtype)
+        start = (slot,) + (0,) * (b.ndim - 1)
+        return jax.lax.dynamic_update_slice(b, upd, start)
+
+    return jax.tree.map(ins, big, small)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "temperature", "top_k"))
