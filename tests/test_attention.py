@@ -59,8 +59,9 @@ def test_prefill_flash_path_matches_reference_path(rng):
     v = jnp.asarray(rng.standard_normal((b, s, hkv, d)).astype(np.float32))
     out_flash, _ = attention(q, k, v, None, 0, use_flash=True)
     out_ref, _ = attention(q, k, v, None, 0, use_flash=False)
+    # atol covers compiled-TPU bf16 MXU vs the f32 oracle (EETQ_TEST_TPU=1)
     np.testing.assert_allclose(
-        np.asarray(out_flash), np.asarray(out_ref), rtol=2e-2, atol=2e-3
+        np.asarray(out_flash), np.asarray(out_ref), rtol=2e-2, atol=1e-2
     )
 
 
