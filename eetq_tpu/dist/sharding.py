@@ -276,8 +276,8 @@ def _unstack_local(params, specs):
 
 
 def cache_spec() -> P:
-    """KV cache [B, L, Hkv, D]: batch over data, heads over model."""
-    return P(DATA_AXIS, None, MODEL_AXIS, None)
+    """KV cache [B, Hkv, L, D]: batch over data, heads over model."""
+    return P(DATA_AXIS, MODEL_AXIS, None, None)
 
 
 def make_forward_fn(

@@ -1,0 +1,206 @@
+"""Flash-decode Pallas kernel: single-token attention over the KV cache.
+
+Replaces the XLA decode-attention einsums with one fused kernel over the
+[B, Hkv, L, D] cache layout:
+
+- grid (B, Hkv, L/bl), KV-block dimension innermost carrying the
+  online-softmax recurrence (flash-2 statistics in VMEM scratch);
+- per-row lengths live in SMEM (scalar prefetch); blocks at or beyond a
+  row's length CLAMP their index map to the last valid block — Pallas
+  skips the DMA when the block index repeats, so only ceil(length/bl)
+  blocks are ever fetched (a 2048-slot engine cache costs only its used
+  prefix, unlike the XLA path which reads max_len every step);
+- int8 KV caches dequantize in-register (per-token scales streamed as
+  [B, Hkv, L, 1] views) — the full bandwidth win, unlike the XLA path
+  which materializes the dequantized cache;
+- GQA: each grid step computes the whole q-head group [G, D] against its
+  kv head's block.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+DEFAULT_BLOCK_L = 512
+
+
+def _fd_kernel(
+    nl: int,
+    bl: int,
+    scale: float,
+    window: int | None,
+    quantized: bool,
+    # refs: lengths(SMEM), q, k, v, [ks, vs], out, m, l, acc
+    *refs,
+):
+    refs = list(refs)
+    len_ref = refs.pop(0)
+    q_ref, k_ref, v_ref = refs[:3]
+    refs = refs[3:]
+    ks_ref = vs_ref = None
+    if quantized:
+        ks_ref, vs_ref = refs[:2]
+        refs = refs[2:]
+    out_ref, m_ref, l_ref, acc_ref = refs
+
+    b = pl.program_id(0)
+    li = pl.program_id(2)
+    length = len_ref[b]
+
+    @pl.when(li == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, MASK_VALUE)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    block_start = li * bl
+    should_run = block_start < length
+    if window is not None:
+        should_run &= block_start + bl - 1 >= length - window
+
+    @pl.when(should_run)
+    def _run():
+        g = q_ref.shape[2]
+        q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # [G, D]
+        k = k_ref[0, 0]  # [bl, D]
+        v = v_ref[0, 0]
+        if quantized:
+            k = k.astype(jnp.bfloat16) * ks_ref[0, 0].astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16) * vs_ref[0, 0].astype(jnp.bfloat16)
+            q_ = q.astype(jnp.bfloat16)
+        else:
+            q_ = q.astype(k.dtype)
+        s = jax.lax.dot_general(
+            q_, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [G, bl]
+        col = jax.lax.broadcasted_iota(jnp.int32, (g, bl), 1) + block_start
+        mask = col < length
+        if window is not None:
+            mask &= col >= length - window
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        m_prev = m_ref[:g]  # [G, 128] broadcast over lanes
+        m_curr = jnp.max(s, axis=-1, keepdims=True)  # [G, 1]
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])
+        p = jnp.exp(s - m_next[:, :1])
+        l_ref[:g] = l_ref[:g] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[:g] = m_next
+        pv = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        acc_ref[:g] = acc_ref[:g] * alpha + pv
+
+    @pl.when(li == nl - 1)
+    def _finalize():
+        g = q_ref.shape[2]
+        l = l_ref[:g, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        out_ref[0, 0] = (acc_ref[:g] * l_inv).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window", "scale", "block_l", "interpret"),
+)
+def flash_decode(
+    q: jax.Array,
+    cache,
+    length,
+    window: int | None = None,
+    scale: float | None = None,
+    block_l: int = DEFAULT_BLOCK_L,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """q: [B, 1, Hq, D]; cache: modules.attention.KVCache ([B, Hkv, L, D]);
+    length: scalar or [B] valid-entry counts. Returns [B, 1, Hq, D].
+
+    Falls back to the XLA oracle when the cache length isn't block-aligned
+    (init_kv_cache rounds allocations to 128, so this is rare).
+    """
+    from eetq_tpu.modules.attention import attention_decode_ref
+
+    b, s, hq, d = q.shape
+    assert s == 1, "flash_decode is the single-token path"
+    hkv, lmax = cache.k.shape[1], cache.k.shape[2]
+    group = hq // hkv
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    bl = min(block_l, lmax)
+    while lmax % bl:
+        bl //= 2
+        if bl < 8:
+            return attention_decode_ref(q, cache, length, window, scale)
+    nl = lmax // bl
+
+    lengths = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1), (b,))
+    qg = q[:, 0].reshape(b, hkv, group, d)
+
+    quantized = cache.quantized
+    kv_specs = [
+        # clamp the L-block index to the last VALID block for this row:
+        # repeated indices make Pallas skip the re-fetch, so only
+        # ceil(length/bl) blocks are DMA'd
+        pl.BlockSpec(
+            (1, 1, bl, d),
+            lambda bb, h, li, lens: (
+                bb, h, jnp.minimum(li, jnp.maximum(lens[bb] - 1, 0) // bl), 0
+            ),
+        )
+        for _ in range(2)
+    ]
+    in_specs = [
+        pl.BlockSpec((1, 1, group, d), lambda bb, h, li, lens: (bb, h, 0, 0)),
+        *kv_specs,
+    ]
+    operands = [qg, cache.k, cache.v]
+    if quantized:
+        for _ in range(2):
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, bl, 1),
+                    lambda bb, h, li, lens: (
+                        bb, h,
+                        jnp.minimum(li, jnp.maximum(lens[bb] - 1, 0) // bl), 0,
+                    ),
+                )
+            )
+        operands.append(cache.k_scale.reshape(b, hkv, lmax, 1))
+        operands.append(cache.v_scale.reshape(b, hkv, lmax, 1))
+
+    kernel = functools.partial(
+        _fd_kernel, nl, bl, scale, window, quantized
+    )
+    srows = max(group, 8)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, hkv, nl),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, group, d), lambda bb, h, li, lens: (bb, h, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((srows, 128), jnp.float32),  # running max
+                pltpu.VMEM((srows, 128), jnp.float32),  # running sum
+                pltpu.VMEM((srows, d), jnp.float32),    # output accumulator
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, *operands)
+    return out.reshape(b, 1, hq, d)

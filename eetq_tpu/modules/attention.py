@@ -4,13 +4,19 @@ sliding window.
 Re-designs the reference's fused attention modules
 (`python/eetq/modules/llama_modules.py:68-240`), which concat past_key_value
 along the sequence axis every step (O(seq^2) decode, host-framework-owned).
-Here the cache is a preallocated static-shape ring buffer updated with
+Here the cache is a preallocated static-shape buffer updated with
 `lax.dynamic_update_slice` — jit-stable shapes, no reallocation, shardable
 over the TP (heads) mesh axis.
 
-The prefill path uses the Pallas flash-attention kernel when available
-(eetq_tpu.kernels.flash_attention); decode (S=1) is a bandwidth-bound
-cache-read einsum that XLA schedules at speed of light on its own.
+Cache layout is [batch, n_kv_heads, max_len, head_dim] — sequence in the
+sublane dimension, head_dim in lanes — so Pallas kernels can block the
+sequence axis directly (the decode flash kernel reads (bl, D) tiles without
+a transpose; kernels/flash_decode.py).
+
+The prefill path uses the Pallas flash-attention kernel
+(eetq_tpu.kernels.flash_attention); decode (S=1) uses the flash-decode
+kernel on TPU (skips cache blocks beyond the current length, dequantizes
+int8 KV in-register) with an XLA einsum fallback/oracle.
 """
 
 from __future__ import annotations
@@ -27,11 +33,11 @@ NEG_INF = float("-inf")
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    """Per-layer KV cache: [batch, max_len, n_kv_heads, head_dim].
+    """Per-layer KV cache: [batch, n_kv_heads, max_len, head_dim].
 
     dtype bf16 by default; int8 (opt-in via init_kv_cache(dtype=jnp.int8))
     stores per-(token, head) symmetric scales in k_scale/v_scale
-    [batch, max_len, n_kv_heads] — halves decode KV bandwidth and cache
+    [batch, n_kv_heads, max_len] — halves decode KV bandwidth and cache
     memory (a beyond-reference feature; the reference's cache is the host
     framework's dense fp16 past_key_value, SURVEY.md §5)."""
 
@@ -42,7 +48,7 @@ class KVCache:
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[1]
+        return self.k.shape[2]
 
     @property
     def quantized(self) -> bool:
@@ -52,9 +58,12 @@ class KVCache:
 def init_kv_cache(
     batch: int, max_len: int, n_kv_heads: int, head_dim: int, dtype=jnp.bfloat16
 ) -> KVCache:
-    shape = (batch, max_len, n_kv_heads, head_dim)
+    # round the sequence allocation to 128 so kernel blocks divide evenly
+    # (unused tail rows are masked by `length` everywhere)
+    max_len = -(-max_len // 128) * 128
+    shape = (batch, n_kv_heads, max_len, head_dim)
     if dtype == jnp.int8:
-        sshape = (batch, max_len, n_kv_heads)
+        sshape = (batch, n_kv_heads, max_len)
         return KVCache(
             k=jnp.zeros(shape, jnp.int8),
             v=jnp.zeros(shape, jnp.int8),
@@ -65,7 +74,7 @@ def init_kv_cache(
 
 
 def _quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Per-(token, head) symmetric int8: x [B, S, H, D] -> (q, scales [B,S,H])."""
+    """Per-(head, token) symmetric int8: x [B, H, S, D] -> (q, scales [B,H,S])."""
     xf = x.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(xf), axis=-1)
     scale = absmax / 127.0
@@ -85,6 +94,9 @@ def update_cache(cache: KVCache, k_new: jax.Array, v_new: jax.Array, offset) -> 
     or a [B] vector of per-row positions (continuous batching: every slot
     is at its own decode offset)."""
     off = jnp.asarray(offset, jnp.int32)
+    # [B, S, H, D] -> cache layout [B, H, S, D]
+    k_new = k_new.transpose(0, 2, 1, 3)
+    v_new = v_new.transpose(0, 2, 1, 3)
     ks = vs = None
     if cache.quantized:
         k_new, ks = _quantize_kv(k_new)
@@ -92,14 +104,14 @@ def update_cache(cache: KVCache, k_new: jax.Array, v_new: jax.Array, offset) -> 
     if off.ndim == 1:
         def row(ck, cv, kn, vn, o):
             return (
-                jax.lax.dynamic_update_slice(ck, kn.astype(ck.dtype), (o, 0, 0)),
-                jax.lax.dynamic_update_slice(cv, vn.astype(cv.dtype), (o, 0, 0)),
+                jax.lax.dynamic_update_slice(ck, kn.astype(ck.dtype), (0, o, 0)),
+                jax.lax.dynamic_update_slice(cv, vn.astype(cv.dtype), (0, o, 0)),
             )
 
         k, v = jax.vmap(row)(cache.k, cache.v, k_new, v_new, off)
         if cache.quantized:
             def srow(cs, sn, o):
-                return jax.lax.dynamic_update_slice(cs, sn, (o, 0))
+                return jax.lax.dynamic_update_slice(cs, sn, (0, o))
 
             return KVCache(
                 k=k, v=v,
@@ -107,7 +119,7 @@ def update_cache(cache: KVCache, k_new: jax.Array, v_new: jax.Array, offset) -> 
                 v_scale=jax.vmap(srow)(cache.v_scale, vs, off),
             )
         return KVCache(k=k, v=v)
-    zeros = (0, off, 0, 0)
+    zeros = (0, 0, off, 0)
     out = KVCache(
         k=jax.lax.dynamic_update_slice(cache.k, k_new.astype(cache.k.dtype), zeros),
         v=jax.lax.dynamic_update_slice(cache.v, v_new.astype(cache.v.dtype), zeros),
@@ -115,7 +127,7 @@ def update_cache(cache: KVCache, k_new: jax.Array, v_new: jax.Array, offset) -> 
         v_scale=cache.v_scale,
     )
     if cache.quantized:
-        szeros = (0, off, 0)
+        szeros = (0, 0, off)
         out = dataclasses.replace(
             out,
             k_scale=jax.lax.dynamic_update_slice(cache.k_scale, ks, szeros),
@@ -155,7 +167,8 @@ def attention_reference(
     scale: float,
 ) -> jax.Array:
     """Masked softmax attention oracle (f32 softmax). q [B,S,Hq,D],
-    k/v [B,L,Hkv,D], mask broadcastable to [B,1,S,L] (True = attend)."""
+    k/v [B,L,Hkv,D] (sequence-major, NOT cache layout), mask broadcastable
+    to [B,1,S,L] (True = attend)."""
     scores = _gqa_scores(q, k) * scale
     if mask is not None:
         scores = jnp.where(mask, scores, NEG_INF)
@@ -194,31 +207,60 @@ def attention_prefill(
     return attention_reference(q, k, v, causal_mask(q.shape[1], window), scale)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("window", "use_kernel"))
 def attention_decode(
     q: jax.Array,
     cache: KVCache,
     length,
     window: int | None = None,
+    use_kernel: bool | None = None,
 ) -> jax.Array:
-    """Single-step decode: q [B, 1, Hq, D] attends over cache[:, :length].
+    """Single-step decode: q [B, 1, Hq, D] attends over cache[:, :, :length].
 
     length is the number of valid cache entries INCLUDING the token being
-    decoded (whose K/V must already be written at position length-1).
+    decoded (whose K/V must already be written at position length-1); it
+    may be a scalar or a per-row [B] vector.
     """
     scale = 1.0 / (q.shape[-1] ** 0.5)
-    l = cache.max_len
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, l), 3)
-    mask = pos < jnp.asarray(length, jnp.int32).reshape(-1, 1, 1, 1)
-    if window is not None:
-        mask &= pos >= jnp.asarray(length, jnp.int32).reshape(-1, 1, 1, 1) - window
+    if use_kernel is None:
+        # The XLA einsum path reads the cache at ~900 GB/s and batches all
+        # heads in one dot — for MHA models it beats the Pallas kernel,
+        # whose grid is per-kv-head (llama2-7b e2e: 10.9 vs 13.6 ms/step).
+        # The kernel wins when the cache is much longer than the current
+        # length (it skips unfetched blocks — continuous-batching engines
+        # with large max_len) or with int8 KV (in-register dequant); opt in
+        # via use_kernel=True / kernels.flash_decode.
+        use_kernel = False
+    if use_kernel:
+        from eetq_tpu.kernels.flash_decode import flash_decode
+
+        return flash_decode(q, cache, length, window=window, scale=scale)
+    return attention_decode_ref(q, cache, length, window, scale)
+
+
+def attention_decode_ref(q, cache: KVCache, length, window, scale):
+    """XLA einsum oracle over the [B, H, L, D] cache layout."""
+    b, s, hq, d = q.shape
+    hkv, l = cache.k.shape[1], cache.max_len
+    group = hq // hkv
     if cache.quantized:
-        # int8 cache: dequant stays in VMEM (measured 1.6x faster scores on
-        # v5e than reading a bf16 cache)
         k = _dequantize_kv(cache.k, cache.k_scale)
         v = _dequantize_kv(cache.v, cache.v_scale)
-        return attention_reference(q, k, v, mask, scale)
-    return attention_reference(q, cache.k, cache.v, mask, scale)
+    else:
+        k, v = cache.k, cache.v
+    qg = q.reshape(b, s, hkv, group, d)
+    scores = jnp.einsum(
+        "bskgd,bkld->bkgsl", qg, k, preferred_element_type=jnp.float32
+    ) * scale  # [B, Hkv, G, S, L]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, l), 4)
+    lv = jnp.asarray(length, jnp.int32).reshape(-1, 1, 1, 1, 1)
+    mask = pos < lv
+    if window is not None:
+        mask &= pos >= lv - window
+    scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgsl,bkld->bskgd", probs, v.astype(probs.dtype))
+    return out.reshape(b, s, hq, d).astype(q.dtype)
 
 
 def attention(

@@ -115,10 +115,16 @@ class _ShardedBackend:
         axis) so slot-insertion ops see consistently-sharded operands."""
         from jax.sharding import NamedSharding
 
+        from jax.sharding import PartitionSpec as P
+
         from eetq_tpu.dist.sharding import cache_spec
 
-        sh = NamedSharding(self.model.mesh, cache_spec())
-        return jax.tree.map(lambda a: jax.device_put(a, sh), caches)
+        sh4 = NamedSharding(self.model.mesh, cache_spec())
+        # int8-cache scale arrays are [B, Hkv, L] (3-D)
+        sh3 = NamedSharding(self.model.mesh, P(*cache_spec()[:3]))
+        return jax.tree.map(
+            lambda a: jax.device_put(a, sh4 if a.ndim == 4 else sh3), caches
+        )
 
     def prefill(self, tokens, true_len, bucket, caches):
         s = tokens.shape[1]

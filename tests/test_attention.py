@@ -18,9 +18,12 @@ def test_cache_update(rng):
     k_new = jnp.asarray(rng.standard_normal((2, 3, 4, 8)).astype(np.float32))
     v_new = jnp.asarray(rng.standard_normal((2, 3, 4, 8)).astype(np.float32))
     cache = update_cache(cache, k_new, v_new, 5)
-    np.testing.assert_array_equal(np.asarray(cache.k[:, 5:8]), np.asarray(k_new))
-    assert np.all(np.asarray(cache.k[:, :5]) == 0)
-    assert np.all(np.asarray(cache.k[:, 8:]) == 0)
+    # cache layout is [B, H, L, D]; k_new is [B, S, H, D]
+    np.testing.assert_array_equal(
+        np.asarray(cache.k[:, :, 5:8]), np.asarray(k_new.transpose(0, 2, 1, 3))
+    )
+    assert np.all(np.asarray(cache.k[:, :, :5]) == 0)
+    assert np.all(np.asarray(cache.k[:, :, 8:]) == 0)
 
 
 def test_prefill_then_decode_matches_full_attention(rng):
@@ -74,7 +77,7 @@ def test_decode_respects_length_mask(rng):
     cache = update_cache(cache, k_new, v_new, 0)
     # poison the tail
     poison = KVCache(
-        k=cache.k.at[:, 5:].set(1e9), v=cache.v.at[:, 5:].set(1e9)
+        k=cache.k.at[:, :, 5:].set(1e9), v=cache.v.at[:, :, 5:].set(1e9)
     )
     q = jnp.asarray(rng.standard_normal((b, 1, hq, d)).astype(np.float32))
     from eetq_tpu.modules.attention import attention_decode

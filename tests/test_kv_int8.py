@@ -93,4 +93,5 @@ def test_engine_with_int8_kv(params):
 def test_init_caches_int8(params):
     caches = init_caches(CFG, 2, 32, dtype=jnp.int8)
     assert caches[0].k.dtype == jnp.int8
-    assert caches[0].k_scale.shape == (2, 32, CFG.num_kv_heads)
+    # cache layout [B, H, L, D]; allocation rounded up to 128
+    assert caches[0].k_scale.shape == (2, CFG.num_kv_heads, 128)
