@@ -75,6 +75,7 @@ def decoder_layer(
     tp: int = 1,
     tp_axis: str | None = None,
     a8: bool = False,
+    decode_kernel: bool | None = None,
 ) -> tuple[jax.Array, KVCache | None]:
     """One decoder layer.
 
@@ -108,7 +109,8 @@ def decoder_layer(
     q = rope(q, positions, cos_sin)
     k = rope(k, positions, cos_sin)
     attn, cache = attention(
-        q, k, v, cache, offset, window=cfg.sliding_window, use_flash=use_flash
+        q, k, v, cache, offset, window=cfg.sliding_window, use_flash=use_flash,
+        decode_kernel=decode_kernel,
     )
     # NOTE: the kernel supports a fused residual epilogue
     # (gemm_bias_act_residual parity, fpA_intB_gemm_template.h:804), but on
@@ -144,6 +146,7 @@ def forward_inner(
     tp: int = 1,
     tp_axis: str | None = None,
     a8: bool = False,
+    decode_kernel: bool | None = None,
 ) -> tuple[jax.Array, list[KVCache] | None]:
     """Un-jitted forward body; called directly inside shard_map by
     eetq_tpu.dist (tp > 1) and via the jitted `forward` single-device."""
@@ -157,7 +160,7 @@ def forward_inner(
         cache_i = caches[i] if caches is not None else None
         x, cache_i = decoder_layer(
             layer, cfg, x, positions, cos_sin, cache_i, offset, use_flash,
-            tp=tp, tp_axis=tp_axis, a8=a8,
+            tp=tp, tp_axis=tp_axis, a8=a8, decode_kernel=decode_kernel,
         )
         if new_caches is not None:
             new_caches.append(cache_i)

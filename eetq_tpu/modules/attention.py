@@ -271,18 +271,23 @@ def attention(
     offset,
     window: int | None = None,
     use_flash: bool = True,
+    decode_kernel: bool | None = None,
 ) -> tuple[jax.Array, KVCache | None]:
     """Unified entry: write K/V to cache at `offset`, attend appropriately.
 
     Prefill = S > 1 with offset 0; decode = S == 1 with offset = current
-    length. Returns (attn_out [B, S, Hq, D], updated cache).
+    length. decode_kernel opts the decode step into the flash-decode
+    Pallas kernel (wins when max_len >> length — continuous batching).
+    Returns (attn_out [B, S, Hq, D], updated cache).
     """
     s = q.shape[1]
     if cache is not None:
         cache = update_cache(cache, k_new, v_new, offset)
     if s == 1:
         assert cache is not None, "decode requires a KV cache"
-        out = attention_decode(q, cache, offset + 1, window=window)
+        out = attention_decode(
+            q, cache, offset + 1, window=window, use_kernel=decode_kernel
+        )
     else:
         out = attention_prefill(q, k_new, v_new, window=window, use_flash=use_flash)
     return out, cache

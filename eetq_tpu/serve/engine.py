@@ -79,15 +79,24 @@ def _prefill_bucketed(params, cfg: ModelConfig, tokens, true_len, bucket: int,
     return last, caches
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("caches",))
-def _decode_batch(params, cfg: ModelConfig, tokens, lengths, caches):
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "decode_kernel"), donate_argnames=("caches",)
+)
+def _decode_batch(params, cfg: ModelConfig, tokens, lengths, caches,
+                  decode_kernel: bool = False):
     """One lock-step decode over all slots. tokens [B, 1] (current input
     token per slot), lengths [B] (valid cache entries per slot = position
     of `tokens`). Returns (logits [B, V], caches with KV written at
-    lengths)."""
+    lengths).
+
+    decode_kernel: engine caches are oversized by design (max_len >>
+    typical lengths), where the flash-decode kernel's length-skipping wins
+    3.4x over the full-cache XLA read (v5e measured). Enabled on TPU;
+    off on CPU so interpret-mode outputs stay bit-identical to generate()."""
     positions = lengths[:, None]
     logits, caches = forward_inner(
-        params, cfg, tokens, positions, caches, lengths
+        params, cfg, tokens, positions, caches, lengths,
+        decode_kernel=decode_kernel,
     )
     return logits[:, -1, :], caches
 
@@ -162,7 +171,10 @@ class _LocalBackend:
         )
 
     def decode(self, tokens, lengths, caches):
-        return _decode_batch(self.params, self.cfg, tokens, lengths, caches)
+        return _decode_batch(
+            self.params, self.cfg, tokens, lengths, caches,
+            decode_kernel=jax.default_backend() == "tpu",
+        )
 
 
 @functools.partial(
