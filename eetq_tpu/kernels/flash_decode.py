@@ -3,8 +3,10 @@
 Replaces the XLA decode-attention einsums with one fused kernel over the
 [B, Hkv, L, D] cache layout:
 
-- grid (B, Hkv, L/bl), KV-block dimension innermost carrying the
-  online-softmax recurrence (flash-2 statistics in VMEM scratch);
+- grid (B, Hkv/bh, L/bl): bh kv heads are processed per grid step (bigger
+  DMAs, fewer steps), the KV-block dimension is innermost and carries the
+  online-softmax recurrence (flash-2 statistics in VMEM scratch, one row
+  band per head);
 - per-row lengths live in SMEM (scalar prefetch); blocks at or beyond a
   row's length CLAMP their index map to the last valid block — Pallas
   skips the DMA when the block index repeats, so only ceil(length/bl)
@@ -13,8 +15,11 @@ Replaces the XLA decode-attention einsums with one fused kernel over the
 - int8 KV caches dequantize in-register (per-token scales streamed as
   [B, Hkv, L, 1] views) — the full bandwidth win, unlike the XLA path
   which materializes the dequantized cache;
-- GQA: each grid step computes the whole q-head group [G, D] against its
-  kv head's block.
+- GQA: each head computes its whole q group [G, D] against the block.
+
+Wins when max_len >> current length (continuous-batching engines) or with
+int8 KV; for tight caches on MHA models the batched XLA einsum still wins
+(see modules/attention.attention_decode's default).
 """
 
 from __future__ import annotations
@@ -34,6 +39,7 @@ DEFAULT_BLOCK_L = 512
 def _fd_kernel(
     nl: int,
     bl: int,
+    bh: int,
     scale: float,
     window: int | None,
     quantized: bool,
@@ -53,6 +59,7 @@ def _fd_kernel(
     b = pl.program_id(0)
     li = pl.program_id(2)
     length = len_ref[b]
+    g = q_ref.shape[2]
 
     @pl.when(li == 0)
     def _init():
@@ -67,48 +74,49 @@ def _fd_kernel(
 
     @pl.when(should_run)
     def _run():
-        g = q_ref.shape[2]
-        q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # [G, D]
-        k = k_ref[0, 0]  # [bl, D]
-        v = v_ref[0, 0]
-        if quantized:
-            k = k.astype(jnp.bfloat16) * ks_ref[0, 0].astype(jnp.bfloat16)
-            v = v.astype(jnp.bfloat16) * vs_ref[0, 0].astype(jnp.bfloat16)
-            q_ = q.astype(jnp.bfloat16)
-        else:
-            q_ = q.astype(k.dtype)
-        s = jax.lax.dot_general(
-            q_, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [G, bl]
         col = jax.lax.broadcasted_iota(jnp.int32, (g, bl), 1) + block_start
         mask = col < length
         if window is not None:
             mask &= col >= length - window
-        s = jnp.where(mask, s, MASK_VALUE)
+        for t in range(bh):  # unrolled over the head block
+            q = (q_ref[0, t].astype(jnp.float32) * scale)  # [G, D]
+            k = k_ref[0, t]  # [bl, D]
+            v = v_ref[0, t]
+            if quantized:
+                k = k.astype(jnp.bfloat16) * ks_ref[0, t].astype(jnp.bfloat16)
+                v = v.astype(jnp.bfloat16) * vs_ref[0, t].astype(jnp.bfloat16)
+            q_ = q.astype(k.dtype)
+            s = jax.lax.dot_general(
+                q_, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, bl]
+            s = jnp.where(mask, s, MASK_VALUE)
 
-        m_prev = m_ref[:g]  # [G, 128] broadcast over lanes
-        m_curr = jnp.max(s, axis=-1, keepdims=True)  # [G, 1]
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])
-        p = jnp.exp(s - m_next[:, :1])
-        l_ref[:g] = l_ref[:g] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        m_ref[:g] = m_next
-        pv = jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
-        acc_ref[:g] = acc_ref[:g] * alpha + pv
+            r = slice(t * g, (t + 1) * g)  # this head's scratch row band
+            m_prev = m_ref[r]
+            m_curr = jnp.max(s, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])
+            p = jnp.exp(s - m_next[:, :1])
+            l_ref[r] = l_ref[r] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            m_ref[r] = m_next
+            pv = jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            acc_ref[r] = acc_ref[r] * alpha + pv
 
     @pl.when(li == nl - 1)
     def _finalize():
-        g = q_ref.shape[2]
-        l = l_ref[:g, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        out_ref[0, 0] = (acc_ref[:g] * l_inv).astype(out_ref.dtype)
+        for t in range(bh):
+            r = slice(t * g, (t + 1) * g)
+            l = l_ref[r, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            out_ref[0, t] = (acc_ref[r] * l_inv).astype(out_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window", "scale", "block_l", "interpret"),
+    static_argnames=("window", "scale", "block_l", "block_h", "interpret"),
 )
 def flash_decode(
     q: jax.Array,
@@ -117,6 +125,7 @@ def flash_decode(
     window: int | None = None,
     scale: float | None = None,
     block_l: int = DEFAULT_BLOCK_L,
+    block_h: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """q: [B, 1, Hq, D]; cache: modules.attention.KVCache ([B, Hkv, L, D]);
@@ -143,53 +152,50 @@ def flash_decode(
             return attention_decode_ref(q, cache, length, window, scale)
     nl = lmax // bl
 
+    if block_h is None:
+        # enough heads per step that scratch bands fill sublanes, capped so
+        # the KV block stays ~512 KiB
+        block_h = max(1, min(hkv, 32 // group, (512 * 1024) // (bl * d)))
+    bh = block_h
+    while hkv % bh:
+        bh -= 1
+    nh = hkv // bh
+
     lengths = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1), (b,))
     qg = q[:, 0].reshape(b, hkv, group, d)
 
     quantized = cache.quantized
-    kv_specs = [
+
+    def kv_map(bb, h, li, lens):
         # clamp the L-block index to the last VALID block for this row:
         # repeated indices make Pallas skip the re-fetch, so only
         # ceil(length/bl) blocks are DMA'd
-        pl.BlockSpec(
-            (1, 1, bl, d),
-            lambda bb, h, li, lens: (
-                bb, h, jnp.minimum(li, jnp.maximum(lens[bb] - 1, 0) // bl), 0
-            ),
-        )
-        for _ in range(2)
-    ]
+        return bb, h, jnp.minimum(li, jnp.maximum(lens[bb] - 1, 0) // bl), 0
+
     in_specs = [
-        pl.BlockSpec((1, 1, group, d), lambda bb, h, li, lens: (bb, h, 0, 0)),
-        *kv_specs,
+        pl.BlockSpec((1, bh, group, d), lambda bb, h, li, lens: (bb, h, 0, 0)),
+        pl.BlockSpec((1, bh, bl, d), kv_map),
+        pl.BlockSpec((1, bh, bl, d), kv_map),
     ]
     operands = [qg, cache.k, cache.v]
     if quantized:
-        for _ in range(2):
-            in_specs.append(
-                pl.BlockSpec(
-                    (1, 1, bl, 1),
-                    lambda bb, h, li, lens: (
-                        bb, h,
-                        jnp.minimum(li, jnp.maximum(lens[bb] - 1, 0) // bl), 0,
-                    ),
-                )
-            )
+        in_specs.append(pl.BlockSpec((1, bh, bl, 1), kv_map))
+        in_specs.append(pl.BlockSpec((1, bh, bl, 1), kv_map))
         operands.append(cache.k_scale.reshape(b, hkv, lmax, 1))
         operands.append(cache.v_scale.reshape(b, hkv, lmax, 1))
 
     kernel = functools.partial(
-        _fd_kernel, nl, bl, scale, window, quantized
+        _fd_kernel, nl, bl, bh, scale, window, quantized
     )
-    srows = max(group, 8)
+    srows = max(bh * group, 8)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, hkv, nl),
+            grid=(b, nh, nl),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, 1, group, d), lambda bb, h, li, lens: (bb, h, 0, 0)
+                (1, bh, group, d), lambda bb, h, li, lens: (bb, h, 0, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((srows, 128), jnp.float32),  # running max

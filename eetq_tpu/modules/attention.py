@@ -223,13 +223,10 @@ def attention_decode(
     """
     scale = 1.0 / (q.shape[-1] ** 0.5)
     if use_kernel is None:
-        # The XLA einsum path reads the cache at ~900 GB/s and batches all
-        # heads in one dot — for MHA models it beats the Pallas kernel,
-        # whose grid is per-kv-head (llama2-7b e2e: 10.9 vs 13.6 ms/step).
-        # The kernel wins when the cache is much longer than the current
-        # length (it skips unfetched blocks — continuous-batching engines
-        # with large max_len) or with int8 KV (in-register dequant); opt in
-        # via use_kernel=True / kernels.flash_decode.
+        # Default: the XLA einsum path. In the tight-cache generate loop it
+        # ties the head-batched flash-decode kernel e2e on v5e; the kernel's
+        # decisive wins are oversized caches (9x — the Engine opts in on
+        # TPU) and in-register int8-KV dequant.
         use_kernel = False
     if use_kernel:
         from eetq_tpu.kernels.flash_decode import flash_decode
