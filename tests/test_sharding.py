@@ -177,3 +177,19 @@ def test_sharded_decode_step(rng, dense_params):
         rtol=5e-2,
         atol=8e-2,
     )
+
+
+def test_multihost_mesh_single_process():
+    """make_hybrid_mesh degenerates to a plain (dp, tp) mesh in-process."""
+    import jax
+    import pytest
+
+    from eetq_tpu.dist import multihost
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    multihost.initialize()  # no-op single-process
+    mesh = multihost.make_hybrid_mesh(tp=4, dp=2)
+    assert mesh.shape == {"data": 2, "model": 4}
+    with pytest.raises(ValueError):
+        multihost.make_hybrid_mesh(tp=3, dp=3)
