@@ -1,3 +1,4 @@
+from eetq_tpu.dist import multihost
 from eetq_tpu.dist.ring_attention import ring_attention, ring_attention_sharded
 from eetq_tpu.dist.sharding import (
     make_mesh,
@@ -9,6 +10,7 @@ from eetq_tpu.dist.sharding import (
 )
 
 __all__ = [
+    "multihost",
     "ring_attention",
     "ring_attention_sharded",
     "make_mesh",
