@@ -30,9 +30,13 @@ log = get_logger(__name__)
 def initialize(**kwargs) -> None:
     """Initialize jax.distributed across hosts (coordinator discovery via
     TPU metadata or the explicit kwargs jax.distributed.initialize takes).
-    Safe no-op on a single process."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    Safe no-op when already initialized or on a single process.
+
+    Order matters: jax.distributed.initialize() must run BEFORE anything
+    that initializes the XLA backend — even jax.process_count() does — so
+    the only pre-checks allowed here are jax.distributed's own state."""
+    if jax.distributed.is_initialized():
+        return
     try:
         jax.distributed.initialize(**kwargs)
         log.info(
@@ -40,8 +44,14 @@ def initialize(**kwargs) -> None:
             jax.process_index(), jax.process_count(),
         )
     except (RuntimeError, ValueError) as e:
-        # single-process (no coordinator configured): run locally
-        log.debug("jax.distributed not initialized (%s); single-process", e)
+        if "backend" in str(e).lower() or "initialize" in str(e).lower():
+            # XLA already started (e.g. user touched jax.devices() first):
+            # surface it — on multi-process setups this silently degrades
+            # to per-host single-process execution.
+            log.warning("jax.distributed.initialize failed: %s", e)
+        else:
+            # no coordinator configured: genuine single-process run
+            log.debug("jax.distributed not initialized (%s); single-process", e)
 
 
 def make_hybrid_mesh(

@@ -75,24 +75,37 @@ def _source_from_dir(path: str) -> _TensorSource:
     if os.path.exists(idx_file):
         with open(idx_file) as f:
             weight_map = json.load(f)["weight_map"]
-        files = {}
-
-        def get(name):
-            fn = os.path.join(path, weight_map[name])
-            if fn not in files:
-                files[fn] = safe_open(fn, framework="numpy")
-            return files[fn].get_tensor(name)
-
-        return _TensorSource(get, weight_map.keys())
+        return _TensorSource(
+            _one_handle_getter(path, weight_map), weight_map.keys()
+        )
     st_files = [f for f in os.listdir(path) if f.endswith(".safetensors")]
     if not st_files:
         raise FileNotFoundError(f"no .safetensors files in {path}")
-    handles = {f: safe_open(os.path.join(path, f), framework="numpy") for f in st_files}
     names = {}
-    for f, h in handles.items():
-        for n in h.keys():
-            names[n] = f
-    return _TensorSource(lambda n: handles[names[n]].get_tensor(n), names.keys())
+    for f in st_files:
+        with safe_open(os.path.join(path, f), framework="numpy") as h:
+            for n in h.keys():
+                names[n] = f
+    return _TensorSource(_one_handle_getter(path, names), names.keys())
+
+
+def _one_handle_getter(path: str, weight_map: dict):
+    """name -> array getter keeping ONE shard handle open at a time (reads
+    cluster per file; avoids an fd per shard for the loader's lifetime)."""
+    from safetensors import safe_open
+
+    current: dict = {}
+
+    def get(name):
+        fn = os.path.join(path, weight_map[name])
+        if current.get("fn") != fn:
+            if "h" in current:
+                current["h"].__exit__(None, None, None)
+            current["fn"] = fn
+            current["h"] = safe_open(fn, framework="numpy")
+        return current["h"].get_tensor(name)
+
+    return get
 
 
 def _source_from_torch(model) -> _TensorSource:
@@ -159,18 +172,30 @@ def _build_params(
         gate = src(f"{pfx}.mlp.gate_proj.weight")
         up = src(f"{pfx}.mlp.up_proj.weight")
         gateup_t = np.concatenate([gate, up], axis=0)
+
+        def opt_bias(name):  # attention_bias=True also puts one on o_proj;
+            return src(name) if name in src else None  # mlp_bias covers mlp
+
+        gu_bias = None
+        if f"{pfx}.mlp.gate_proj.bias" in src:
+            gu_bias = np.concatenate(
+                [src(f"{pfx}.mlp.gate_proj.bias"), src(f"{pfx}.mlp.up_proj.bias")]
+            )
         layers.append(
             LayerParams(
                 input_norm=jnp.asarray(
                     src(f"{pfx}.input_layernorm.weight"), jnp.float32
                 ),
                 qkv=_to_linear(qkv_t, quantize, bits, dtype, bias=qkv_bias),
-                o_proj=_to_linear(src(f"{attn}.o_proj.weight"), quantize, bits, dtype),
+                o_proj=_to_linear(src(f"{attn}.o_proj.weight"), quantize, bits,
+                                  dtype, bias=opt_bias(f"{attn}.o_proj.bias")),
                 post_norm=jnp.asarray(
                     src(f"{pfx}.post_attention_layernorm.weight"), jnp.float32
                 ),
-                gateup=_to_linear(gateup_t, quantize, bits, dtype),
-                down=_to_linear(src(f"{pfx}.mlp.down_proj.weight"), quantize, bits, dtype),
+                gateup=_to_linear(gateup_t, quantize, bits, dtype, bias=gu_bias),
+                down=_to_linear(src(f"{pfx}.mlp.down_proj.weight"), quantize,
+                                bits, dtype,
+                                bias=opt_bias(f"{pfx}.mlp.down_proj.bias")),
             )
         )
         log.debug("loaded layer %d/%d", i + 1, cfg.num_layers)

@@ -181,11 +181,13 @@ class _LocalBackend:
     jax.jit, static_argnames=("upto_pad",), donate_argnames=("big",)
 )
 def _insert_rows(big: KVCache, small: KVCache, slot, upto_pad: int):
-    """Copy small[0, :upto_pad] into big[slot, :upto_pad] (one slot row).
-    Generic over cache leaves (covers int8 caches' scale arrays)."""
+    """Copy small[0, :, :upto_pad] into big[slot, :, :upto_pad] (one slot
+    row, first upto_pad sequence positions). Generic over cache leaves:
+    4-D [B, H, L, D] k/v arrays and 3-D [B, H, L] int8-cache scale arrays
+    both have the sequence on axis 2."""
 
     def ins(b, s):
-        upd = s[:, :upto_pad].astype(b.dtype)
+        upd = jax.lax.slice_in_dim(s, 0, upto_pad, axis=2).astype(b.dtype)
         start = (slot,) + (0,) * (b.ndim - 1)
         return jax.lax.dynamic_update_slice(b, upd, start)
 

@@ -247,16 +247,42 @@ def shard_quantized(
     lm_head = None
     lm_head_spec = None
     if params.lm_head is not None:
-        v = params.lm_head.weight.shape[-1]
-        if v % tp:
-            raise ValueError(f"vocab {v} not divisible by tp={tp}")
-        shards = jnp.split(params.lm_head.weight, tp, axis=-1)
-        lm_head = DenseLinear(
-            weight=jax.device_put(
-                jnp.stack(shards), NamedSharding(mesh, P(MODEL_AXIS, None, None))
+        if isinstance(params.lm_head, QuantLinear):
+            # quantize_lm_head=True artifact: column-parallel over the vocab
+            # (per-output-channel scales split with their columns, bit-exact).
+            ql = params.lm_head
+            q = unpack_weights(ql.qweight)
+            v = q.shape[-1]
+            if v % tp:
+                raise ValueError(f"vocab {v} not divisible by tp={tp}")
+            b_shards = (
+                [None] * tp if ql.bias is None else jnp.split(ql.bias, tp, -1)
             )
-        )
-        lm_head_spec = DenseLinear(weight=P(MODEL_AXIS, None, None))
+            shards = [
+                QuantLinear(
+                    qweight=pack_weights(qs, bits=ql.qweight.bits),
+                    scales=ss,
+                    bias=bs,
+                )
+                for qs, ss, bs in zip(
+                    jnp.split(q, tp, axis=-1),
+                    jnp.split(ql.scales, tp, axis=-1),
+                    b_shards,
+                )
+            ]
+            lm_head, lm_head_spec = stack(shards)
+        else:
+            v = params.lm_head.weight.shape[-1]
+            if v % tp:
+                raise ValueError(f"vocab {v} not divisible by tp={tp}")
+            shards = jnp.split(params.lm_head.weight, tp, axis=-1)
+            lm_head = DenseLinear(
+                weight=jax.device_put(
+                    jnp.stack(shards),
+                    NamedSharding(mesh, P(MODEL_AXIS, None, None)),
+                )
+            )
+            lm_head_spec = DenseLinear(weight=P(MODEL_AXIS, None, None))
 
     out_params = ModelParams(
         embed=repl(params.embed),

@@ -92,6 +92,34 @@ def test_eos_frees_slot(params):
     assert not eng.has_work
 
 
+def test_many_kv_heads_small_bucket():
+    """Regression: _insert_rows must slice the SEQUENCE axis of the
+    [B, H, L, D] cache, not the head axis. With num_kv_heads (8) larger than
+    the prompt bucket (4), a head-axis slice silently drops heads >= 4 from
+    the prefilled cache and diverges from greedy_generate immediately."""
+    cfg = ModelConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_layers=2,
+        num_heads=8,
+        num_kv_heads=8,
+        head_dim=8,
+        max_position=128,
+    )
+    p = quantize_params(
+        random_dense_params(cfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+    )
+    prompt = [3, 17, 42]
+    eng = Engine(p, cfg, max_batch=2, max_len=64, prompt_buckets=(4, 16))
+    uid = eng.add_request(prompt, max_new_tokens=6)
+    eng.run()
+    ref = greedy_generate(
+        p, cfg, jnp.asarray(np.asarray(prompt, np.int32)[None]), 6
+    )
+    assert eng.result(uid) == [int(t) for t in np.asarray(ref[0])]
+
+
 def test_overflow_rejected(params):
     eng = Engine(params, CFG, max_batch=1, max_len=32)
     with pytest.raises(ValueError):
