@@ -165,6 +165,70 @@ def bench_decode(params, cfg, batch, prompt_len, new_tokens, sync_s) -> dict:
     }
 
 
+def bench_13b_estimate(sync_s: float) -> dict:
+    """The honest 13B headline (BASELINE.md: Llama-2-13B W8A16 >= 1.8x FP16,
+    batch=1, prompt=1024). bf16 13B does not fit the 16 GB chip, so the bf16
+    baseline is ESTIMATED by measurement + linear extrapolation:
+
+      1. measure the REAL scanned-decode step time of truncated bf16 13B
+         models with K in {6, 12} layers (full generate path: embed, K real
+         distinct-weight layers, attention over the 1024-token cache,
+         lm_head, sampling — no microbench VMEM-staging artifacts);
+      2. fit t_step(K) = a + b*K  (a = embed+lm_head+sampling+dispatch,
+         b = per-layer cost); extrapolate to the 40-layer model;
+      3. measure full 13B W8A16 decode FOR REAL (it fits), and report
+         w8a16_tok_s / bf16_est_tok_s.
+
+    Linearity holds because every layer is identical in shape and the decode
+    step has no cross-layer reuse; the same fit at 7B (where bf16 fits)
+    over-/under-predicts by <5% (validated in round 2 bring-up).
+    """
+    cfg = PRESETS["llama2-13b"]
+    prompt_len, new_tokens = 1024, 50
+
+    def truncated(k_layers):
+        import dataclasses
+
+        return dataclasses.replace(cfg, num_layers=k_layers)
+
+    ks = (6, 12)
+    per_k = {}
+    for k_layers in ks:
+        c = truncated(k_layers)
+        log(f"building bf16 13B[{k_layers} layers]...")
+        dense = build_params(c, quantized=False)
+        r = bench_decode(dense, c, 1, prompt_len, new_tokens, sync_s)
+        per_k[k_layers] = r["ms_per_step"]
+        log(f"bf16 13B[{k_layers}]: {r}")
+        del dense
+        gc.collect()
+    b = (per_k[ks[1]] - per_k[ks[0]]) / (ks[1] - ks[0])
+    a = per_k[ks[0]] - b * ks[0]
+    est_ms = a + b * cfg.num_layers
+    bf16_est_tok_s = 1e3 / est_ms
+    log(f"bf16 13B est: a={a:.3f}ms + {b:.3f}ms/layer x {cfg.num_layers} "
+        f"= {est_ms:.2f} ms/step -> {bf16_est_tok_s:.2f} tok/s")
+
+    log("building W8A16 13B (full)...")
+    quant = build_params(cfg, quantized=True)
+    r_q = bench_decode(quant, cfg, 1, prompt_len, new_tokens, sync_s)
+    log(f"w8a16 13B: {r_q}")
+    del quant
+    gc.collect()
+    return {
+        "llama2_13b_w8a16_tok_s": r_q["decode_tok_s"],
+        "llama2_13b_bf16_est_tok_s": round(bf16_est_tok_s, 2),
+        "llama2_13b_bf16_est_ms_fit": {
+            "per_layer_ms": round(b, 4),
+            "overhead_ms": round(a, 4),
+            "measured_layers": {str(k): per_k[k] for k in ks},
+        },
+        "llama2_13b_vs_bf16_est": round(
+            r_q["decode_tok_s"] * est_ms / 1e3, 4
+        ),
+    }
+
+
 def main():
     preset = os.environ.get("EETQ_BENCH_PRESET", "llama2-7b")
     bits = int(os.environ.get("EETQ_BENCH_BITS", 8))
@@ -205,6 +269,21 @@ def main():
         log(f"speedup: {speedup:.3f}x  (w8a16 {r_q['decode_tok_s']:.2f} tok/s "
             f"vs bf16 {r_bf16['decode_tok_s']:.2f} tok/s)")
         result["vs_baseline"] = round(speedup / 1.8, 4)
+
+    # The BASELINE.md headline is defined at 13B; bf16-13B OOMs the chip, so
+    # the ratio uses a measured-extrapolated bf16 estimate (methodology in
+    # bench_13b_estimate's docstring + BASELINE.md). Skippable via env.
+    if os.environ.get("EETQ_BENCH_13B", "1") != "0" and preset == "llama2-7b":
+        del quant
+        gc.collect()
+        try:
+            result.update(bench_13b_estimate(sync_s))
+            if "llama2_13b_vs_bf16_est" in result:
+                result["vs_baseline_13b"] = round(
+                    result["llama2_13b_vs_bf16_est"] / 1.8, 4
+                )
+        except Exception as e:  # never lose the 7B headline to a 13B OOM
+            log(f"13B estimate failed: {e!r}")
     print(json.dumps(result))
 
 

@@ -1,4 +1,5 @@
 from eetq_tpu.dist import multihost
+from eetq_tpu.dist.long_context import generate_long, long_prefill
 from eetq_tpu.dist.ring_attention import ring_attention, ring_attention_sharded
 from eetq_tpu.dist.sharding import (
     make_mesh,
@@ -11,6 +12,8 @@ from eetq_tpu.dist.sharding import (
 
 __all__ = [
     "multihost",
+    "generate_long",
+    "long_prefill",
     "ring_attention",
     "ring_attention_sharded",
     "make_mesh",

@@ -86,6 +86,13 @@ def make_hybrid_mesh(
                 devices=devices,
             )
             return Mesh(arr.reshape(dp, tp), (DATA_AXIS, MODEL_AXIS))
-        except Exception as e:  # odd topology: fall back to a plain reshape
-            log.warning("hybrid mesh construction failed (%s); plain mesh", e)
+        except Exception as e:
+            # No slice metadata (CPU multi-process, single-slice TPU):
+            # group tp within a process so the model axis stays on
+            # intra-host links and dp crosses processes.
+            log.info("hybrid mesh unavailable (%s); process-grouped mesh", e)
+            ordered = sorted(devices, key=lambda d: (d.process_index, d.id))
+            return Mesh(
+                np.asarray(ordered).reshape(dp, tp), (DATA_AXIS, MODEL_AXIS)
+            )
     return Mesh(np.asarray(devices).reshape(dp, tp), (DATA_AXIS, MODEL_AXIS))

@@ -1,5 +1,5 @@
-"""Kernel-config selection: heuristic + per-shape cache (+ optional measured
-autotune on real hardware).
+"""Kernel-config selection: heuristic + per-shape cache + measured autotune
+with a persistent per-chip cache.
 
 The reference enumerates CUTLASS tile configs and scores them with an
 SM-occupancy wave-quantization model on EVERY GEMM call
@@ -15,12 +15,24 @@ bandwidth and the MXU stays fed, (2) double-buffered working set within
 VMEM (~16 MiB higher bound, budgeted lower), (3) for the decode regime
 (m <= MAX_DECODE_M) minimize per-block overhead: whole-K blocks so there is
 no accumulator carry and the int8 weight is read exactly once.
+
+The built-in constants are MEASURED ON v5e; other generations (v4/v5p/v6e)
+fall back to the same rules (block sizes scale with VMEM, which is 16 MiB
+on all of them — reasonable, not validated). For exact tuning anywhere, the
+measured autotuner (`measured_autotune` / `autotune_shapes`, or
+`EETQ_AUTOTUNE=1` to tune on first use) sweeps real candidate configs with
+`utils.profiling.device_time` and persists winners per device kind in a
+JSON cache (`EETQ_AUTOTUNE_CACHE`, default ~/.cache/eetq_tpu/autotune.json)
+consulted before the heuristic — the reference's measured-occupancy idea
+(`cutlass_heuristic.cc:123-206`) done once and cached instead of per call.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
+import json
+import os
 
 from eetq_tpu.layout import DEFAULT_LAYOUT
 
@@ -52,15 +64,79 @@ def _divisors_from(candidates: tuple[int, ...], dim: int) -> list[int]:
     return [c for c in candidates if dim % c == 0]
 
 
+def _cache_path() -> str:
+    return os.environ.get(
+        "EETQ_AUTOTUNE_CACHE",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "eetq_tpu", "autotune.json"
+        ),
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _load_persistent() -> dict:
+    try:
+        with open(_cache_path()) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_persistent(cache: dict) -> None:
+    path = _cache_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cache, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+    _load_persistent.cache_clear()
+
+
+def _device_kind() -> str:
+    try:
+        import jax
+
+        return jax.devices()[0].device_kind
+    except Exception:
+        return "unknown"
+
+
+def _m_bucket(m: int) -> int:
+    """Shapes are cached per m-bucket: decode ms share one compiled config
+    (the f32 sublane makes m<=8 identical); larger ms bucket to powers of
+    two, like jit's own padding behavior for the block grid."""
+    if m <= MAX_DECODE_M:
+        return MAX_DECODE_M
+    return 1 << (m - 1).bit_length()
+
+
+def _tune_key(m: int, kp: int, np_: int, bits: int) -> str:
+    return f"{_device_kind()}|b{bits}|m{_m_bucket(m)}|k{kp}|n{np_}"
+
+
 @functools.lru_cache(maxsize=4096)
-def choose_config(m: int, kp: int, np_: int) -> MatmulConfig:
+def choose_config(m: int, kp: int, np_: int, bits: int = 8) -> MatmulConfig:
     """Pick a block config for logical m and packed (padded) Kp, Np.
 
-    Cached per shape (the fix for the reference's reselect-every-call,
-    `fpA_intB_gemm_template.h:455-487`).
-    """
+    Lookup order: persistent measured-autotune cache (per device kind),
+    then the v5e-measured heuristic below. Cached per shape (the fix for
+    the reference's reselect-every-call, `fpA_intB_gemm_template.h:455-487`).
+    Set EETQ_AUTOTUNE=1 to measure-and-persist on first use of each shape
+    (real TPU only; adds seconds per new shape)."""
     g = DEFAULT_LAYOUT.n_tile
     assert kp % DEFAULT_LAYOUT.k_tile == 0 and np_ % g == 0, (m, kp, np_)
+
+    tuned = _load_persistent().get(_tune_key(m, kp, np_, bits))
+    if tuned is not None:
+        return MatmulConfig(bm=tuned[0], bn=tuned[1], bk=tuned[2])
+    if os.environ.get("EETQ_AUTOTUNE") == "1":
+        try:
+            import jax
+
+            if jax.default_backend() == "tpu":
+                return measured_autotune(m, kp, np_, bits=bits)
+        except Exception:
+            pass  # fall through to the heuristic
 
     if m <= MAX_DECODE_M:
         # Decode GEMV regime: weight-bandwidth-bound. Measured on v5e
@@ -115,3 +191,176 @@ def choose_config(m: int, kp: int, np_: int) -> MatmulConfig:
     if best is None:
         return MatmulConfig(bm=128, bn=256, bk=256)
     return best[1]
+
+
+# ---- measured autotune (persistent per-chip cache) ----
+
+
+def _candidate_configs(m: int, kp: int, np_: int) -> list[MatmulConfig]:
+    """Candidate blocks for a measured sweep — a superset of what the
+    heuristic would pick, bounded so the sweep stays a handful of compiles."""
+    kt = DEFAULT_LAYOUT.k_tile
+    k_divs = [d for d in range(kt, kp + 1, kt) if kp % d == 0]
+    out: list[MatmulConfig] = []
+    if m <= MAX_DECODE_M:
+        bks = sorted(
+            {
+                max((d for d in k_divs if d <= t), default=k_divs[0])
+                for t in (1024, 2048, 4096, 6144, kp)
+            }
+        )
+        for bn in (128, 256, 512):
+            if np_ % bn:
+                continue
+            for bk in bks:
+                cfg = MatmulConfig(bm=8, bn=bn, bk=bk)
+                if cfg.vmem_bytes() <= VMEM_BUDGET_BYTES:
+                    out.append(cfg)
+    else:
+        for bm in (128, 256, 512):
+            if bm > max(128, 2 * m):
+                continue
+            for bn in (256, 512):
+                if np_ % bn:
+                    continue
+                for bk in (512, 1024, 2048):
+                    if kp % bk:
+                        continue
+                    cfg = MatmulConfig(bm, bn, bk)
+                    if cfg.vmem_bytes() <= VMEM_BUDGET_BYTES:
+                        out.append(cfg)
+    return out or [choose_config(m, kp, np_)]
+
+
+def measured_autotune(
+    m: int,
+    kp: int,
+    np_: int,
+    bits: int = 8,
+    iters: int = 50,
+    save: bool = True,
+    verbose: bool = False,
+) -> MatmulConfig:
+    """Sweep candidate block configs ON HARDWARE with
+    `utils.profiling.device_time` (relay-proof fori_loop timing) and persist
+    the winner in the per-chip JSON cache. Returns the fastest config.
+
+    The reference re-derives its config from an occupancy model on every
+    call (`cutlass_heuristic.cc:123-206`); this measures once and caches.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from eetq_tpu.layout import pack_weights
+    from eetq_tpu.quant import symmetric_quantize
+    from eetq_tpu.utils.profiling import device_time, host_sync_overhead
+
+    klog = kp * (2 if bits == 4 else 1)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (m, klog), jnp.bfloat16)
+    # XLA VMEM-stages LOOP-INVARIANT weights inside fori_loop microbenches
+    # (measured: a 16 MB weight "streams" at 19 TB/s — it's resident). The
+    # probe therefore scans over a STACK of distinct weights big enough to
+    # exceed VMEM — scan-indexed operands stream from HBM every step, like a
+    # model's per-layer weights do. (A chain of separate weight ARRAYS
+    # instead of a scanned stack sends XLA's memory-space assignment
+    # pathological — same failure mode as round 1's scan-over-layers.)
+    w_bytes = klog * np_ // (2 if bits == 4 else 1)
+    n_weights = int(max(2, -(-48 * 1024 * 1024 // w_bytes)))
+    qd_list, sc_list = [], []
+    for i in range(n_weights):
+        w = jax.random.normal(
+            jax.random.PRNGKey(i), (klog, np_), jnp.float32
+        ) * klog**-0.5
+        q, s = symmetric_quantize(w, bits=bits)
+        pw = pack_weights(q, bits=bits)
+        qd_list.append(pw.data)
+        sc_list.append(s)
+        del w, q, s
+    proto = pw
+    qdatas = jnp.stack(qd_list)
+    scs = jnp.stack(sc_list)
+    del qd_list, sc_list
+
+    from eetq_tpu.ops.linear import w8a16_matmul
+
+    sync = host_sync_overhead()
+    best: tuple[float, MatmulConfig] | None = None
+    for cfg in _candidate_configs(m, kp, np_):
+        def f(c, x, cfg=cfg):
+            def body(carry, ws):
+                qd, sc = ws
+                y = w8a16_matmul(
+                    x + carry,
+                    dataclasses.replace(proto, data=qd),
+                    sc,
+                    config=cfg,
+                )
+                v = y[0, 0].astype(jnp.float32)
+                return v * 1e-30, v
+
+            _, ys = jax.lax.scan(body, c, (qdatas, scs))
+            return jnp.sum(ys)
+
+        try:
+            # total matmuls per rep must dwarf the relay floor (~26 ms) or
+            # the subtraction leaves pure noise: target >= ~4000 matmuls
+            loop_iters = max(iters, 4000 // n_weights)
+            t = device_time(f, x, iters=loop_iters, sync_s=sync)
+            t = t / n_weights
+        except Exception as e:  # invalid config for this shape: skip
+            if verbose:
+                print(f"  {cfg}: failed ({type(e).__name__})")
+            continue
+        if verbose:
+            gbs = w_bytes / t / 1e9
+            print(f"  {cfg}: {t*1e6:.1f} us ({gbs:.0f} GB/s weight-stream)")
+        if best is None or t < best[0]:
+            best = (t, cfg)
+    if best is None:
+        return choose_config(m, kp, np_, bits)
+    if save:
+        cache = dict(_load_persistent())
+        cache[_tune_key(m, kp, np_, bits)] = [
+            best[1].bm, best[1].bn, best[1].bk
+        ]
+        _save_persistent(cache)
+        choose_config.cache_clear()
+    return best[1]
+
+
+def autotune_shapes(
+    shapes: list[tuple[int, int, int]] | None = None,
+    cfg=None,
+    bits: int = 8,
+    batch: int = 1,
+    verbose: bool = True,
+) -> dict:
+    """Pre-tune a list of (m, k_logical, n) shapes — or every projection of a
+    ModelConfig at decode (m=batch) and prefill — persisting the winners.
+    Returns {key: [bm, bn, bk]} of everything tuned."""
+    from eetq_tpu.layout import DEFAULT_LAYOUT as L
+
+    if shapes is None:
+        if cfg is None:
+            raise ValueError("pass shapes or a ModelConfig")
+        h, i = cfg.hidden_size, cfg.intermediate_size
+        proj = [
+            (h, cfg.qkv_out),
+            (cfg.num_heads * cfg.head_dim, h),
+            (h, 2 * i),
+            (i, h),
+        ]
+        shapes = [(batch, k, n) for k, n in proj]
+        shapes += [(1024, k, n) for k, n in proj]
+    tuned = {}
+    for m, k, n in shapes:
+        kp = -(-k // L.k_tile) * L.k_tile // (2 if bits == 4 else 1)
+        np_ = -(-n // L.n_tile) * L.n_tile
+        if verbose:
+            print(f"tuning m={m} k={k} n={n} (bits={bits})...")
+        best = measured_autotune(m, kp, np_, bits=bits, verbose=verbose)
+        tuned[_tune_key(m, kp, np_, bits)] = [best.bm, best.bn, best.bk]
+        if verbose:
+            print(f"  -> {best}")
+    return tuned

@@ -14,6 +14,7 @@ it carries the online-softmax recurrence in VMEM scratch).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -30,14 +31,7 @@ DEFAULT_BLOCK_KV = 512
 
 
 def _fa_kernel(
-    q_ref,
-    k_ref,
-    v_ref,
-    o_ref,
-    m_ref,
-    l_ref,
-    acc_ref,
-    *,
+    *refs,
     scale: float,
     causal: bool,
     window: int | None,
@@ -45,9 +39,19 @@ def _fa_kernel(
     block_q: int,
     block_kv: int,
     num_kv_blocks: int,
+    alibi: bool,
 ):
+    refs = list(refs)
+    q_ref, k_ref, v_ref = refs[:3]
+    refs = refs[3:]
+    slopes_ref = refs.pop(0) if alibi else None  # [1, Hq] in SMEM
+    o_ref, m_ref, l_ref, acc_ref = refs
+
     qi = pl.program_id(2)
     ki = pl.program_id(3)
+    # read at trace top level: program_id inside a pl.when closure doesn't
+    # lower in interpret mode
+    slope = slopes_ref[0, pl.program_id(1)] if alibi else None
 
     @pl.when(ki == 0)
     def _init():
@@ -74,6 +78,8 @@ def _fa_kernel(
         interior &= kv_start + block_kv - 1 <= q_start
     if window is not None:
         interior = False  # every tile needs the left-edge mask
+    if alibi:
+        interior = False  # every tile adds the position bias
 
     def _accumulate(s):
         m_prev = m_ref[:]  # [bq, 128] (value broadcast over lanes)
@@ -106,6 +112,8 @@ def _fa_kernel(
         s = _scores()
         row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0) + q_start
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1) + kv_start
+        if alibi:
+            s = s + slope * (col - row).astype(jnp.float32)
         mask = col < kv_len  # padded keys
         if causal:
             mask &= col <= row
@@ -134,13 +142,44 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_kv: int = DEFAULT_BLOCK_KV,
     interpret: bool | None = None,
+    slopes: jax.Array | None = None,
 ) -> jax.Array:
     """q: [B, Sq, Hq, D]; k, v: [B, Skv, Hkv, D] with Hq % Hkv == 0.
+
+    slopes [Hq] f32 enables ALiBi: score += slope_h * (key_pos - query_pos)
+    (baichuan-13b). The slopes ride in SMEM and every tile adds the bias
+    (the interior fast path is disabled — the bias needs the iotas anyway).
+
+    DIFFERENTIABLE: a custom VJP implements the recompute-based flash-2
+    backward (no S x S materialization), so LoRA finetuning over frozen
+    quantized weights runs with flash memory behavior (the reference
+    composes its dequantizing linear backward with flash-attn's CUDA
+    backward, `modules/llama_modules.py:132-141` + `qlinear.py:64-94`).
 
     Returns [B, Sq, Hq, D] in q.dtype. Sequence dims are padded internally.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    statics = _Statics(causal, window, scale, block_q, block_kv, interpret)
+    if slopes is None:
+        return _flash_vjp_noalibi(statics, q, k, v)
+    return _flash_vjp(statics, q, k, v, slopes)
+
+
+def _flash_forward(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    slopes: jax.Array | None,
+    causal: bool,
+    window: int | None,
+    scale: float | None,
+    block_q: int,
+    block_kv: int,
+    interpret: bool,
+) -> jax.Array:
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
     assert hq % hkv == 0, (hq, hkv)
@@ -160,6 +199,7 @@ def flash_attention(
 
     nq = sq_p // block_q
     nkv = skv_p // block_kv
+    alibi = slopes is not None
     kernel = functools.partial(
         _fa_kernel,
         scale=scale,
@@ -169,19 +209,29 @@ def flash_attention(
         block_q=block_q,
         block_kv=block_kv,
         num_kv_blocks=nkv,
+        alibi=alibi,
     )
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec(
+            (1, 1, block_kv, d), lambda b, h, i, j: (b, h // group, j, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, block_kv, d), lambda b, h, i, j: (b, h // group, j, 0)
+        ),
+    ]
+    operands = [qt, kt, vt]
+    if alibi:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, hq), lambda b, h, i, j: (0, 0), memory_space=pltpu.SMEM
+            )
+        )
+        operands.append(slopes.astype(jnp.float32).reshape(1, hq))
     out = pl.pallas_call(
         kernel,
         grid=(b, hq, nq, nkv),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec(
-                (1, 1, block_kv, d), lambda b, h, i, j: (b, h // group, j, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, block_kv, d), lambda b, h, i, j: (b, h // group, j, 0)
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j: (b, h, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hq, sq_p, d), q.dtype),
         scratch_shapes=[
@@ -200,5 +250,167 @@ def flash_attention(
             transcendentals=b * hq * sq_p * skv_p,
         ),
         interpret=interpret,
-    )(qt, kt, vt)
+    )(*operands)
     return out[:, :, :sq, :].transpose(0, 2, 1, 3)
+
+
+# ---- backward: recompute-based flash-2 VJP ----
+#
+# Chunked over the KV axis so no [Sq, Skv] score matrix is ever materialized
+# (peak extra memory is one [B, Hq, Sq, chunk] block). Expressed as an XLA
+# lax.scan rather than a hand-written Pallas kernel: the per-chunk einsums
+# are large MXU matmuls and XLA pipelines the scan body; training is not the
+# serving hot path, so compiler-scheduled recompute is the right
+# cost/complexity point (the forward stays Pallas).
+
+
+class _Statics(NamedTuple):
+    causal: bool
+    window: int | None
+    scale: float
+    block_q: int
+    block_kv: int
+    interpret: bool
+
+
+BWD_CHUNK = 256
+
+
+def _bwd_chunked(q, k, v, slopes, out, do, causal, window, scale):
+    """Flash-2 backward math. q/out/do [B,Sq,Hq,D]; k/v [B,Skv,Hkv,D].
+    Returns (dq, dk, dv) in the input dtypes."""
+    b, sq, hq, d = q.shape
+    skv, hkv = k.shape[1], k.shape[2]
+    g = hq // hkv
+    delta = skv - sq  # query i aligns with key i + delta
+
+    c = min(BWD_CHUNK, skv)
+    skv_p = -(-skv // c) * c
+    nc = skv_p // c
+
+    # head-major f32, scale folded into q (so dk needs no extra scale)
+    qg = (q.transpose(0, 2, 1, 3).astype(jnp.float32) * scale).reshape(
+        b, hkv, g, sq, d
+    )
+    dog = do.transpose(0, 2, 1, 3).astype(jnp.float32).reshape(b, hkv, g, sq, d)
+    kc = (
+        jnp.pad(k.transpose(0, 2, 1, 3).astype(jnp.float32),
+                ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+        .reshape(b, hkv, nc, c, d)
+        .transpose(2, 0, 1, 3, 4)
+    )  # [nc, B, Hkv, c, D]
+    vc = (
+        jnp.pad(v.transpose(0, 2, 1, 3).astype(jnp.float32),
+                ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+        .reshape(b, hkv, nc, c, d)
+        .transpose(2, 0, 1, 3, 4)
+    )
+    row = jnp.arange(sq, dtype=jnp.int32)[:, None] + delta  # key-aligned
+    if slopes is not None:
+        sl = slopes.astype(jnp.float32).reshape(1, hkv, g, 1, 1)
+
+    def scores(k_chunk, ci):
+        col = jnp.arange(c, dtype=jnp.int32)[None, :] + ci * c
+        s = jnp.einsum(
+            "bkgqd,bkcd->bkgqc", qg, k_chunk,
+            preferred_element_type=jnp.float32,
+        )
+        if slopes is not None:
+            s = s + sl * (col - row).astype(jnp.float32)
+        mask = col < skv
+        if causal:
+            mask &= col <= row
+        if window is not None:
+            mask &= col > row - window
+        return jnp.where(mask, s, MASK_VALUE)
+
+    # pass 1: logsumexp per query row (cheap: no V product)
+    def lse_step(carry, xs):
+        m, l = carry
+        k_chunk, ci = xs
+        s = scores(k_chunk, ci)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        l = l * jnp.exp(m - m_new) + jnp.sum(
+            jnp.exp(s - m_new[..., None]), axis=-1
+        )
+        return (m_new, l), None
+
+    m0 = jnp.full((b, hkv, g, sq), MASK_VALUE, jnp.float32)
+    l0 = jnp.zeros((b, hkv, g, sq), jnp.float32)
+    (m, l), _ = jax.lax.scan(
+        lse_step, (m0, l0), (kc, jnp.arange(nc, dtype=jnp.int32))
+    )
+    lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+
+    # pass 2: dq accumulation + per-chunk dk/dv
+    dsum = jnp.sum(dog * out.transpose(0, 2, 1, 3).astype(jnp.float32)
+                   .reshape(b, hkv, g, sq, d), axis=-1)  # [B,Hkv,g,Sq]
+
+    def grad_step(dq_acc, xs):
+        k_chunk, v_chunk, ci = xs
+        p = jnp.exp(scores(k_chunk, ci) - lse[..., None])  # masked -> 0
+        dv_c = jnp.einsum("bkgqc,bkgqd->bkcd", p, dog,
+                          preferred_element_type=jnp.float32)
+        dp = jnp.einsum("bkgqd,bkcd->bkgqc", dog, v_chunk,
+                        preferred_element_type=jnp.float32)
+        ds = p * (dp - dsum[..., None])
+        dq_acc = dq_acc + jnp.einsum(
+            "bkgqc,bkcd->bkgqd", ds, k_chunk,
+            preferred_element_type=jnp.float32,
+        )
+        dk_c = jnp.einsum("bkgqc,bkgqd->bkcd", ds, qg,
+                          preferred_element_type=jnp.float32)
+        return dq_acc, (dk_c, dv_c)
+
+    dq0 = jnp.zeros((b, hkv, g, sq, d), jnp.float32)
+    dq, (dk_chunks, dv_chunks) = jax.lax.scan(
+        grad_step, dq0, (kc, vc, jnp.arange(nc, dtype=jnp.int32))
+    )
+    dq = (dq * scale).reshape(b, hq, sq, d).transpose(0, 2, 1, 3)
+    dk = (
+        dk_chunks.transpose(1, 2, 0, 3, 4).reshape(b, hkv, skv_p, d)[:, :, :skv]
+    ).transpose(0, 2, 1, 3)
+    dv = (
+        dv_chunks.transpose(1, 2, 0, 3, 4).reshape(b, hkv, skv_p, d)[:, :, :skv]
+    ).transpose(0, 2, 1, 3)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_vjp(statics, q, k, v, slopes):
+    return _flash_forward(q, k, v, slopes, *statics)
+
+
+def _flash_vjp_fwd(statics, q, k, v, slopes):
+    out = _flash_forward(q, k, v, slopes, *statics)
+    return out, (q, k, v, slopes, out)
+
+
+def _flash_vjp_bwd(statics, res, do):
+    q, k, v, slopes, out = res
+    causal, window, scale, _, _, _ = statics
+    dq, dk, dv = _bwd_chunked(q, k, v, slopes, out, do, causal, window, scale)
+    return dq, dk, dv, jnp.zeros_like(slopes)
+
+
+_flash_vjp.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_vjp_noalibi(statics, q, k, v):
+    return _flash_forward(q, k, v, None, *statics)
+
+
+def _flash_vjp_noalibi_fwd(statics, q, k, v):
+    out = _flash_forward(q, k, v, None, *statics)
+    return out, (q, k, v, out)
+
+
+def _flash_vjp_noalibi_bwd(statics, res, do):
+    q, k, v, out = res
+    causal, window, scale, _, _, _ = statics
+    dq, dk, dv = _bwd_chunked(q, k, v, None, out, do, causal, window, scale)
+    return dq, dk, dv
+
+
+_flash_vjp_noalibi.defvjp(_flash_vjp_noalibi_fwd, _flash_vjp_noalibi_bwd)

@@ -43,7 +43,8 @@ def _fd_kernel(
     scale: float,
     window: int | None,
     quantized: bool,
-    # refs: lengths(SMEM), q, k, v, [ks, vs], out, m, l, acc
+    alibi: bool,
+    # refs: lengths(SMEM), q, k, v, [ks, vs], [slopes(SMEM)], out, m, l, acc
     *refs,
 ):
     refs = list(refs)
@@ -54,12 +55,22 @@ def _fd_kernel(
     if quantized:
         ks_ref, vs_ref = refs[:2]
         refs = refs[2:]
+    slopes_ref = refs.pop(0) if alibi else None  # [1, Hq] in SMEM
     out_ref, m_ref, l_ref, acc_ref = refs
 
     b = pl.program_id(0)
+    hi = pl.program_id(1)
     li = pl.program_id(2)
     length = len_ref[b]
     g = q_ref.shape[2]
+    if alibi:
+        # q head index of (kv head t, group row gg) = (hi*bh + t)*g + gg;
+        # read at trace top level (program_id doesn't lower inside pl.when
+        # closures in interpret mode)
+        slopes_all = [
+            [slopes_ref[0, (hi * bh + t) * g + gg] for gg in range(g)]
+            for t in range(bh)
+        ]
 
     @pl.when(li == 0)
     def _init():
@@ -90,6 +101,10 @@ def _fd_kernel(
                 q_, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [G, bl]
+            if alibi:
+                # the query sits at position length-1
+                sl = jnp.stack(slopes_all[t])  # [G]
+                s = s + sl[:, None] * (col - (length - 1)).astype(jnp.float32)
             s = jnp.where(mask, s, MASK_VALUE)
 
             r = slice(t * g, (t + 1) * g)  # this head's scratch row band
@@ -127,9 +142,11 @@ def flash_decode(
     block_l: int = DEFAULT_BLOCK_L,
     block_h: int | None = None,
     interpret: bool | None = None,
+    slopes: jax.Array | None = None,
 ) -> jax.Array:
     """q: [B, 1, Hq, D]; cache: modules.attention.KVCache ([B, Hkv, L, D]);
-    length: scalar or [B] valid-entry counts. Returns [B, 1, Hq, D].
+    length: scalar or [B] valid-entry counts. slopes [Hq] f32 enables the
+    ALiBi position bias. Returns [B, 1, Hq, D].
 
     Falls back to the XLA oracle when the cache length isn't block-aligned
     (init_kv_cache rounds allocations to 128, so this is rare).
@@ -149,7 +166,9 @@ def flash_decode(
     while lmax % bl:
         bl //= 2
         if bl < 8:
-            return attention_decode_ref(q, cache, length, window, scale)
+            return attention_decode_ref(
+                q, cache, length, window, scale, slopes=slopes
+            )
     nl = lmax // bl
 
     if block_h is None:
@@ -183,9 +202,19 @@ def flash_decode(
         in_specs.append(pl.BlockSpec((1, bh, bl, 1), kv_map))
         operands.append(cache.k_scale.reshape(b, hkv, lmax, 1))
         operands.append(cache.v_scale.reshape(b, hkv, lmax, 1))
+    alibi = slopes is not None
+    if alibi:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, hq),
+                lambda bb, h, li, lens: (0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        )
+        operands.append(slopes.astype(jnp.float32).reshape(1, hq))
 
     kernel = functools.partial(
-        _fd_kernel, nl, bl, bh, scale, window, quantized
+        _fd_kernel, nl, bl, bh, scale, window, quantized, alibi
     )
     srows = max(bh * group, 8)
     out = pl.pallas_call(

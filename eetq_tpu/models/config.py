@@ -28,6 +28,7 @@ class ModelConfig:
     embedding_multiplier: float | None = None  # gemma: sqrt(hidden_size)
     rmsnorm_unit_offset: bool = False  # gemma: gamma = 1 + w
     qkv_bias: bool = False
+    alibi: bool = False  # baichuan-13b: ALiBi position bias, no RoPE
     model_type: str = "llama"
 
     @property
@@ -70,6 +71,15 @@ class ModelConfig:
             # qwen2 always uses q/k/v biases; llama-family configs may opt
             # in via attention_bias
             qkv_bias=model_type == "qwen2" or hf.get("attention_bias", False),
+            # Baichuan configs carry no position-embedding field; the 13B
+            # (40 heads / hidden 5120) uses ALiBi, the 7B RoPE — same
+            # detection the community loaders use. Explicit "alibi": true
+            # or "position_embedding": "ALIBI" (baichuan2) also honored.
+            alibi=bool(
+                hf.get("alibi", False)
+                or str(hf.get("position_embedding", "")).upper() == "ALIBI"
+                or (model_type == "baichuan" and num_heads >= 40)
+            ),
             model_type=model_type,
         )
 
@@ -120,6 +130,12 @@ BAICHUAN_7B = ModelConfig(
     model_type="baichuan",
 )
 
+BAICHUAN_13B = ModelConfig(
+    vocab_size=64000, hidden_size=5120, intermediate_size=13696, num_layers=40,
+    num_heads=40, num_kv_heads=40, head_dim=128, max_position=4096,
+    alibi=True, model_type="baichuan",
+)
+
 QWEN2_7B = ModelConfig(
     vocab_size=152064, hidden_size=3584, intermediate_size=18944, num_layers=28,
     num_heads=28, num_kv_heads=4, head_dim=128, max_position=32768,
@@ -134,5 +150,6 @@ PRESETS = {
     "mistral-7b": MISTRAL_7B,
     "gemma-7b": GEMMA_7B,
     "baichuan-7b": BAICHUAN_7B,
+    "baichuan-13b": BAICHUAN_13B,
     "qwen2-7b": QWEN2_7B,
 }

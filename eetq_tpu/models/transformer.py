@@ -106,11 +106,22 @@ def decoder_layer(
     q = q.reshape(b, s, hq, d)
     k = k.reshape(b, s, hkv, d)
     v = v.reshape(b, s, hkv, d)
-    q = rope(q, positions, cos_sin)
-    k = rope(k, positions, cos_sin)
+    slopes = None
+    if cfg.alibi:
+        # ALiBi replaces RoPE (baichuan-13b). Slopes are per GLOBAL q head;
+        # under TP each shard takes its local contiguous head slice.
+        from eetq_tpu.ops.alibi import alibi_slopes
+
+        slopes = jnp.asarray(alibi_slopes(cfg.num_heads))
+        if tp_axis is not None:
+            start = jax.lax.axis_index(tp_axis) * hq
+            slopes = jax.lax.dynamic_slice(slopes, (start,), (hq,))
+    else:
+        q = rope(q, positions, cos_sin)
+        k = rope(k, positions, cos_sin)
     attn, cache = attention(
         q, k, v, cache, offset, window=cfg.sliding_window, use_flash=use_flash,
-        decode_kernel=decode_kernel,
+        decode_kernel=decode_kernel, slopes=slopes,
     )
     # NOTE: the kernel supports a fused residual epilogue
     # (gemm_bias_act_residual parity, fpA_intB_gemm_template.h:804), but on

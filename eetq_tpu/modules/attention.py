@@ -165,11 +165,20 @@ def attention_reference(
     v: jax.Array,
     mask: jax.Array | None,
     scale: float,
+    slopes: jax.Array | None = None,
 ) -> jax.Array:
     """Masked softmax attention oracle (f32 softmax). q [B,S,Hq,D],
     k/v [B,L,Hkv,D] (sequence-major, NOT cache layout), mask broadcastable
-    to [B,1,S,L] (True = attend)."""
+    to [B,1,S,L] (True = attend). slopes [Hq]: ALiBi bias
+    slope_h * (key_pos - query_pos), with query i aligned to key i
+    (self-attention among the same S positions: S == L)."""
     scores = _gqa_scores(q, k) * scale
+    if slopes is not None:
+        s, l = scores.shape[-2], scores.shape[-1]
+        i = jax.lax.broadcasted_iota(jnp.int32, (s, l), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (s, l), 1)
+        dist = (j - i + (l - s)).astype(jnp.float32)  # key ahead of query > 0
+        scores = scores + slopes.astype(jnp.float32)[None, :, None, None] * dist
     if mask is not None:
         scores = jnp.where(mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
@@ -193,18 +202,24 @@ def attention_prefill(
     v: jax.Array,
     window: int | None = None,
     use_flash: bool = True,
+    slopes: jax.Array | None = None,
 ) -> jax.Array:
     """Causal self-attention among the current S tokens (cache_len == 0).
 
     is_causal=True mirrors the reference's prefill branch
-    (`llama_modules.py:109,132-141`).
+    (`llama_modules.py:109,132-141`). slopes [Hq] enables ALiBi
+    (baichuan-13b; reference `models/baichuan.py` delegates this to HF).
     """
     scale = 1.0 / (q.shape[-1] ** 0.5)
     if use_flash:
         from eetq_tpu.kernels.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, causal=True, window=window, scale=scale)
-    return attention_reference(q, k, v, causal_mask(q.shape[1], window), scale)
+        return flash_attention(
+            q, k, v, causal=True, window=window, scale=scale, slopes=slopes
+        )
+    return attention_reference(
+        q, k, v, causal_mask(q.shape[1], window), scale, slopes=slopes
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("window", "use_kernel"))
@@ -214,12 +229,13 @@ def attention_decode(
     length,
     window: int | None = None,
     use_kernel: bool | None = None,
+    slopes: jax.Array | None = None,
 ) -> jax.Array:
     """Single-step decode: q [B, 1, Hq, D] attends over cache[:, :, :length].
 
     length is the number of valid cache entries INCLUDING the token being
     decoded (whose K/V must already be written at position length-1); it
-    may be a scalar or a per-row [B] vector.
+    may be a scalar or a per-row [B] vector. slopes [Hq] enables ALiBi.
     """
     scale = 1.0 / (q.shape[-1] ** 0.5)
     if use_kernel is None:
@@ -231,11 +247,14 @@ def attention_decode(
     if use_kernel:
         from eetq_tpu.kernels.flash_decode import flash_decode
 
-        return flash_decode(q, cache, length, window=window, scale=scale)
-    return attention_decode_ref(q, cache, length, window, scale)
+        return flash_decode(
+            q, cache, length, window=window, scale=scale, slopes=slopes
+        )
+    return attention_decode_ref(q, cache, length, window, scale, slopes=slopes)
 
 
-def attention_decode_ref(q, cache: KVCache, length, window, scale):
+def attention_decode_ref(q, cache: KVCache, length, window, scale,
+                         slopes: jax.Array | None = None):
     """XLA einsum oracle over the [B, H, L, D] cache layout."""
     b, s, hq, d = q.shape
     hkv, l = cache.k.shape[1], cache.max_len
@@ -251,6 +270,12 @@ def attention_decode_ref(q, cache: KVCache, length, window, scale):
     ) * scale  # [B, Hkv, G, S, L]
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, l), 4)
     lv = jnp.asarray(length, jnp.int32).reshape(-1, 1, 1, 1, 1)
+    if slopes is not None:
+        # query sits at position length-1: bias = slope * (key_pos - (len-1))
+        dist = (pos - (lv - 1)).astype(jnp.float32)
+        scores = scores + slopes.astype(jnp.float32).reshape(
+            1, hkv, group, 1, 1
+        ) * dist
     mask = pos < lv
     if window is not None:
         mask &= pos >= lv - window
@@ -269,12 +294,14 @@ def attention(
     window: int | None = None,
     use_flash: bool = True,
     decode_kernel: bool | None = None,
+    slopes: jax.Array | None = None,
 ) -> tuple[jax.Array, KVCache | None]:
     """Unified entry: write K/V to cache at `offset`, attend appropriately.
 
     Prefill = S > 1 with offset 0; decode = S == 1 with offset = current
     length. decode_kernel opts the decode step into the flash-decode
     Pallas kernel (wins when max_len >> length — continuous batching).
+    slopes [Hq] enables ALiBi position bias (no RoPE applied by the caller).
     Returns (attn_out [B, S, Hq, D], updated cache).
     """
     s = q.shape[1]
@@ -283,8 +310,11 @@ def attention(
     if s == 1:
         assert cache is not None, "decode requires a KV cache"
         out = attention_decode(
-            q, cache, offset + 1, window=window, use_kernel=decode_kernel
+            q, cache, offset + 1, window=window, use_kernel=decode_kernel,
+            slopes=slopes,
         )
     else:
-        out = attention_prefill(q, k_new, v_new, window=window, use_flash=use_flash)
+        out = attention_prefill(
+            q, k_new, v_new, window=window, use_flash=use_flash, slopes=slopes
+        )
     return out, cache

@@ -134,8 +134,8 @@ def linear_apply(
 
     prenorm=(gamma, eps) applies rmsnorm(x, gamma, eps) before the matmul —
     FUSED into the kernel prologue when the decode regime allows (whole-K
-    int8 blocks), a jnp op otherwise. Inference-only (not differentiable,
-    not combinable with LoRA).
+    int8 blocks), a jnp op otherwise. Differentiable (custom VJP through
+    the rmsnorm->matmul reference); not combinable with LoRA.
     """
     if lora is not None and residual is not None:
         raise ValueError("fused residual with LoRA is not supported")

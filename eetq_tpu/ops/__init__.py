@@ -17,6 +17,7 @@ from eetq_tpu.quant import symmetric_quantize as quantize_weights
 from eetq_tpu.layout import pack_weights
 from eetq_tpu.ops.rope import rope, make_cos_sin_cache
 from eetq_tpu.ops.rmsnorm import rmsnorm
+from eetq_tpu.ops.alibi import alibi_slopes
 
 __all__ = [
     "w8a16_matmul",
@@ -26,4 +27,5 @@ __all__ = [
     "rope",
     "make_cos_sin_cache",
     "rmsnorm",
+    "alibi_slopes",
 ]

@@ -182,7 +182,8 @@ def w8a16_matmul(
         ``rmsnorm(x, gamma, prenorm_eps)`` into the kernel prologue when
         the chosen config has whole-K int8 per-channel blocks (the decode
         regime); otherwise the norm is applied as a jnp op first.
-        Inference-only (no custom VJP through the fused prologue).
+        Differentiable (the fused path's VJP runs the rmsnorm->matmul
+        reference composition).
     """
     if not isinstance(qweight, PackedWeight):
         qweight = pack_weights(qweight, bits=bits)
@@ -210,7 +211,7 @@ def w8a16_matmul(
     res2 = None if residual is None else residual.reshape(m, n)
 
     if config is None:
-        config = choose_config(m, qweight.data.shape[-2], qweight.np)
+        config = choose_config(m, qweight.data.shape[-2], qweight.np, bits)
     config = _compatible_config(
         config, qweight.data.shape[-2], group_size, bits
     )
@@ -242,11 +243,14 @@ def w8a16_matmul(
     return out.reshape(*lead, n)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def _w8a16_prenorm_call(
     x2, qdata, scales, bias, residual, gamma,
     k, n, activation, residual_mode, config, interpret, eps,
 ):
-    """Kernel path with the RMSNorm prologue fused (inference-only)."""
+    """Kernel path with the RMSNorm prologue fused. Forward runs the fused
+    Pallas kernel; the VJP differentiates the rmsnorm -> dequant-matmul
+    reference composition (exact; frozen int8 weights get float0)."""
     m = x2.shape[0]
     kp, np_ = qdata.shape
     mp = -(-m // config.bm) * config.bm
@@ -273,3 +277,27 @@ def _w8a16_prenorm_call(
     if n != np_:
         out = out[:, :n]
     return out
+
+
+def _prenorm_fwd(x2, qdata, scales, bias, residual, gamma, *statics):
+    out = _w8a16_prenorm_call(x2, qdata, scales, bias, residual, gamma, *statics)
+    return out, (x2, qdata, scales, bias, residual, gamma)
+
+
+def _prenorm_bwd(k, n, activation, residual_mode, config, interpret, eps,
+                 saved, g):
+    from eetq_tpu.ops.rmsnorm import rmsnorm
+
+    x2, qdata, scales, bias, residual, gamma = saved
+    _, vjp = jax.vjp(
+        lambda xx, qq, ss, bb, rr, gg: _ref_forward(
+            rmsnorm(xx, gg, eps=eps),
+            unpack_weights(PackedWeight(data=qq, k=k, n=n, bits=8)),
+            k, n, ss, bb, rr, activation, residual_mode,
+        ),
+        x2, qdata, scales, bias, residual, gamma,
+    )
+    return vjp(g)
+
+
+_w8a16_prenorm_call.defvjp(_prenorm_fwd, _prenorm_bwd)

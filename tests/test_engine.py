@@ -174,16 +174,67 @@ def test_sharded_engine_tp(params):
     assert mismatches <= total // 3, (outs_sh, outs_local)
 
 
-def test_sharded_engine_rejects_dp(params):
-    from eetq_tpu.dist import make_mesh, shard_model
+def test_sharded_engine_dp2(params):
+    """dp=2 x tp=2 serving: the slot batch shards over the data axis, and
+    admission prefills up to dp requests per round (VERDICT r1 §10 — the
+    round-1 engine required dp=1)."""
+    from eetq_tpu.dist import make_mesh
     from eetq_tpu.models import random_dense_params
+    from eetq_tpu.surgery.tp_reshard import quantize_params_tp, shard_quantized
 
     if len(jax.devices()) < 4:
         pytest.skip("needs >= 4 devices")
     dense = random_dense_params(CFG, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    model = shard_model(dense, CFG, make_mesh(tp=2, dp=2), quantize=True)
-    with pytest.raises(ValueError):
-        Engine(model, max_batch=2, max_len=64)
+    qp = quantize_params_tp(dense, CFG, tp=2)
+    model = shard_quantized(qp, CFG, make_mesh(tp=2, dp=2))
+
+    prompts = [[5, 6, 7], [11] * 10, [1, 2], [9, 9]]
+    eng_sh = Engine(model, max_batch=4, max_len=64, prompt_buckets=(16,))
+    outs_sh = eng_sh.generate_all(prompts, max_new_tokens=6)
+
+    eng_local = Engine(qp, CFG, max_batch=4, max_len=64, prompt_buckets=(16,))
+    outs_local = eng_local.generate_all(prompts, max_new_tokens=6)
+
+    total = mismatches = 0
+    for a, b in zip(outs_sh, outs_local):
+        assert len(a) == len(b) == 6
+        for x, y in zip(a, b):
+            total += 1
+            mismatches += x != y
+    # tiny-random-model argmax margins flip under shard_map summation-order
+    # jitter; require broad agreement
+    assert mismatches <= total // 3, (outs_sh, outs_local)
+
+    with pytest.raises(ValueError):  # max_batch must divide by dp
+        Engine(model, max_batch=3, max_len=64)
+
+
+def test_multi_step_decode_window(params):
+    """decode_window > 1 must produce exactly the same outputs as the
+    single-step engine (greedy lock-step scan vs per-step dispatch),
+    including eos early-stop and budget edges mid-window."""
+    prompts = [[5, 6, 7], [11] * 10, [1, 2]]
+    budgets = [6, 9, 5]
+    eng1 = Engine(params, CFG, max_batch=4, max_len=64, prompt_buckets=(16,),
+                  decode_window=1)
+    engw = Engine(params, CFG, max_batch=4, max_len=64, prompt_buckets=(16,),
+                  decode_window=4)
+    u1 = [eng1.add_request(p, n) for p, n in zip(prompts, budgets)]
+    uw = [engw.add_request(p, n) for p, n in zip(prompts, budgets)]
+    eng1.run()
+    engw.run()
+    for a, b in zip(u1, uw):
+        assert eng1.result(a) == engw.result(b)
+
+    # eos mid-window
+    ref = _ref_greedy(params, [3, 17, 42, 9], 8)
+    eos = ref[3]
+    stop = ref.index(eos) + 1
+    engE = Engine(params, CFG, max_batch=1, max_len=64, prompt_buckets=(8,),
+                  decode_window=8)
+    uid = engE.add_request([3, 17, 42, 9], max_new_tokens=8, eos_token_id=eos)
+    engE.run()
+    assert engE.result(uid) == ref[:stop]
 
 
 def test_a8_prefill_engine(params):
