@@ -315,6 +315,12 @@ def make_forward_fn(
             P(DATA_AXIS) if per_row_offset else P(),
         ),
         out_specs=(P(DATA_AXIS, None, None), caches_spec),
+        # check_vma would be the one static safety net shard_map offers,
+        # but it requires `vma` annotations on every ShapeDtypeStruct the
+        # body produces — including each Pallas kernel's out_shape — which
+        # jax's pallas_call does not currently accept. Correctness is
+        # covered instead by the sharded-vs-single-device equality tests
+        # (tests/test_sharding.py, test_engine.py, test_multihost.py).
         check_vma=False,
     )
     return jax.jit(fwd)

@@ -260,11 +260,13 @@ def measured_autotune(
     x = jax.random.normal(key, (m, klog), jnp.bfloat16)
     # XLA VMEM-stages LOOP-INVARIANT weights inside fori_loop microbenches
     # (measured: a 16 MB weight "streams" at 19 TB/s — it's resident). The
-    # probe therefore scans over a STACK of distinct weights big enough to
-    # exceed VMEM — scan-indexed operands stream from HBM every step, like a
-    # model's per-layer weights do. (A chain of separate weight ARRAYS
-    # instead of a scanned stack sends XLA's memory-space assignment
-    # pathological — same failure mode as round 1's scan-over-layers.)
+    # probe therefore VMAPS the kernel over a STACK of distinct weights big
+    # enough to exceed VMEM — the batched kernel reads each slice IN PLACE
+    # from HBM (measured 733 GB/s at the 7B qkv shape, matching e2e decode).
+    # Rejected alternatives: a chain of separate weight arrays sends XLA's
+    # memory-space assignment pathological (round-1 scan-over-layers failure
+    # mode), and lax.scan over the stack materializes a copy of every slice
+    # before the kernel (~430 GB/s apparent — copy-bound, not kernel-bound).
     w_bytes = klog * np_ // (2 if bits == 4 else 1)
     n_weights = int(max(2, -(-48 * 1024 * 1024 // w_bytes)))
     qd_list, sc_list = [], []
@@ -288,19 +290,15 @@ def measured_autotune(
     best: tuple[float, MatmulConfig] | None = None
     for cfg in _candidate_configs(m, kp, np_):
         def f(c, x, cfg=cfg):
-            def body(carry, ws):
-                qd, sc = ws
-                y = w8a16_matmul(
-                    x + carry,
+            def one(qd, sc):
+                return w8a16_matmul(
+                    x + c,
                     dataclasses.replace(proto, data=qd),
                     sc,
                     config=cfg,
-                )
-                v = y[0, 0].astype(jnp.float32)
-                return v * 1e-30, v
+                )[0, 0].astype(jnp.float32)
 
-            _, ys = jax.lax.scan(body, c, (qdatas, scs))
-            return jnp.sum(ys)
+            return jnp.sum(jax.vmap(one)(qdatas, scs))
 
         try:
             # total matmuls per rep must dwarf the relay floor (~26 ms) or

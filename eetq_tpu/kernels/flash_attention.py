@@ -40,7 +40,11 @@ def _fa_kernel(
     block_kv: int,
     num_kv_blocks: int,
     alibi: bool,
+    delta: int,
 ):
+    # delta = kv_len - sq aligns the LAST query with the LAST key: query
+    # local row i sits at absolute position i + delta (cache-append /
+    # chunked-prefill semantics; 0 for plain self-attention).
     refs = list(refs)
     q_ref, k_ref, v_ref = refs[:3]
     refs = refs[3:]
@@ -59,7 +63,7 @@ def _fa_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q_start = qi * block_q
+    q_start = qi * block_q + delta  # absolute position of the block's row 0
     kv_start = ki * block_kv
 
     should_run = kv_start < kv_len
@@ -210,6 +214,7 @@ def _flash_forward(
         block_kv=block_kv,
         num_kv_blocks=nkv,
         alibi=alibi,
+        delta=skv - sq,
     )
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j: (b, h, i, 0)),

@@ -122,14 +122,43 @@ class EETQCausalLM:
         return shard_model(self.params, self.cfg, mesh, quantize=True)
 
 
+def resolve_checkpoint(path_or_id: str, **download_kwargs) -> str:
+    """Resolve a local directory or a HuggingFace Hub model id to a local
+    checkpoint directory (the reference's `snapshot_download` resolution,
+    `models/base.py:210-256`). Hub ids require network access — in
+    air-gapped deployments pass a local path (or a pre-populated
+    HF_HUB_CACHE). NOTE: the hub path is implemented but untested in this
+    repo's CI (zero-egress environment)."""
+    import os
+
+    if os.path.isdir(path_or_id):
+        return path_or_id
+    try:
+        from huggingface_hub import snapshot_download
+    except ImportError as e:
+        raise FileNotFoundError(
+            f"{path_or_id} is not a local directory and huggingface_hub is "
+            f"unavailable for hub download"
+        ) from e
+    return snapshot_download(
+        path_or_id,
+        allow_patterns=["*.json", "*.safetensors", "*.model", "*.txt"],
+        **download_kwargs,
+    )
+
+
 class AutoEETQForCausalLM:
     """Entry point: checks config.model_type and builds the model
-    (reference `auto.py:12-32` check_and_get_model_type + dispatch)."""
+    (reference `auto.py:12-32` check_and_get_model_type + dispatch).
+    `path` may be a local checkpoint directory or a HF Hub model id
+    (resolved via snapshot_download, like `models/base.py:210-256`)."""
 
     @classmethod
     def from_pretrained(
-        cls, path: str, dtype=jnp.bfloat16, quantize: bool = False
+        cls, path: str, dtype=jnp.bfloat16, quantize: bool = False,
+        **download_kwargs,
     ) -> EETQCausalLM:
+        path = resolve_checkpoint(path, **download_kwargs)
         cfg, hf = load_config(path)
         _check_supported(cfg)
         cfg2, params = load_hf_dense(path, dtype=dtype)
@@ -139,7 +168,9 @@ class AutoEETQForCausalLM:
         return model
 
     @classmethod
-    def from_quantized(cls, path: str, dtype=jnp.bfloat16) -> EETQCausalLM:
+    def from_quantized(cls, path: str, dtype=jnp.bfloat16,
+                       **download_kwargs) -> EETQCausalLM:
+        path = resolve_checkpoint(path, **download_kwargs)
         cfg, hf = load_config(path)
         _check_supported(cfg)
         cfg2, params = load_quantized(path, dtype=dtype)

@@ -185,10 +185,15 @@ def attention_reference(
     return _gqa_out(probs, v).astype(q.dtype)
 
 
-def causal_mask(s: int, window: int | None = None) -> jax.Array:
-    """[1, 1, s, s] causal (optionally sliding-window) mask."""
-    i = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+def causal_mask(
+    s: int, window: int | None = None, kv_len: int | None = None
+) -> jax.Array:
+    """[1, 1, s, kv_len] causal (optionally sliding-window) mask. With
+    kv_len > s the LAST query aligns with the LAST key (cache-append /
+    chunked-prefill semantics: query row i sits at position i + kv_len - s)."""
+    l = kv_len if kv_len is not None else s
+    i = jax.lax.broadcasted_iota(jnp.int32, (s, l), 0) + (l - s)
+    j = jax.lax.broadcasted_iota(jnp.int32, (s, l), 1)
     m = j <= i
     if window is not None:
         m &= j > i - window
@@ -218,7 +223,8 @@ def attention_prefill(
             q, k, v, causal=True, window=window, scale=scale, slopes=slopes
         )
     return attention_reference(
-        q, k, v, causal_mask(q.shape[1], window), scale, slopes=slopes
+        q, k, v, causal_mask(q.shape[1], window, kv_len=k.shape[1]), scale,
+        slopes=slopes,
     )
 
 
@@ -311,6 +317,25 @@ def attention(
         assert cache is not None, "decode requires a KV cache"
         out = attention_decode(
             q, cache, offset + 1, window=window, use_kernel=decode_kernel,
+            slopes=slopes,
+        )
+    elif cache is not None and isinstance(offset, int) and offset > 0:
+        # CHUNKED PREFILL: the S-token chunk (already written to the cache
+        # at [offset, offset+S)) attends over the whole prefix. `offset`
+        # must be a static python int so the cache slice has a static
+        # shape — one compile per chunk index, dispatched by the caller
+        # (serve.generate.prefill_chunked).
+        hist = offset + s
+        k_ctx, v_ctx = cache.k[:, :, :hist], cache.v[:, :, :hist]
+        if cache.quantized:
+            k_ctx = _dequantize_kv(k_ctx, cache.k_scale[:, :, :hist])
+            v_ctx = _dequantize_kv(v_ctx, cache.v_scale[:, :, :hist])
+        out = attention_prefill(
+            q,
+            k_ctx.transpose(0, 2, 1, 3),
+            v_ctx.transpose(0, 2, 1, 3),
+            window=window,
+            use_flash=use_flash,
             slopes=slopes,
         )
     else:

@@ -44,6 +44,57 @@ def prefill(params, cfg, tokens, caches, use_flash: bool = True,
     return logits[:, -1, :], caches
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "offset", "use_flash"),
+    donate_argnames=("caches",),
+)
+def _prefill_chunk(params, cfg, tokens, caches, offset: int,
+                   use_flash: bool = True):
+    """One prefill chunk: tokens [B, C] at STATIC positions
+    offset..offset+C. The chunk attends over cache[:, :, :offset+C]
+    (static slice -> one compile per chunk index). Returns (last-token
+    logits [B, V], caches)."""
+    from eetq_tpu.models.transformer import forward_inner
+
+    b, c = tokens.shape
+    positions = jnp.broadcast_to(
+        offset + jnp.arange(c, dtype=jnp.int32), (b, c)
+    )
+    # forward_inner directly (not the jitted forward): `offset` must stay a
+    # python int so attention() takes the static-slice chunked path
+    logits, caches = forward_inner(
+        params, cfg, tokens, positions, caches, offset, use_flash=use_flash
+    )
+    return logits[:, -1, :], caches
+
+
+def prefill_chunked(
+    params,
+    cfg,
+    tokens,  # [B, S]
+    caches,
+    chunk: int = 512,
+    use_flash: bool = True,
+):
+    """Prefill in fixed-size chunks: bounds peak attention working set and
+    per-dispatch latency (a serving engine can interleave decode between
+    chunks instead of stalling for the whole prompt — the TGI-style
+    chunked-prefill behavior the reference delegates to its host,
+    README.md:88-96). S must be a multiple of `chunk` (pad the prompt).
+
+    Returns (last-token logits [B, V], caches)."""
+    b, s = tokens.shape
+    if s % chunk:
+        raise ValueError(f"prompt length {s} must divide by chunk {chunk}")
+    logits = None
+    for i in range(s // chunk):
+        logits, caches = _prefill_chunk(
+            params, cfg, tokens[:, i * chunk : (i + 1) * chunk], caches,
+            offset=i * chunk, use_flash=use_flash,
+        )
+    return logits, caches
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def decode_step(params, cfg, token, pos, caches):
     """token: [B, 1]; pos: scalar int32 position of `token`.

@@ -195,3 +195,24 @@ def test_int4_groupwise_checkpoint_roundtrip(tmp_path, rng, bits, g):
     lg1, _ = forward(qp, cfg, toks, pos, None, jnp.int32(0))
     lg2, _ = forward(loaded, cfg2, toks, pos, None, jnp.int32(0))
     np.testing.assert_allclose(np.asarray(lg1), np.asarray(lg2), atol=3e-2)
+
+
+def test_hub_resolution(tmp_path, monkeypatch):
+    """Local dirs pass through; hub ids route to snapshot_download (mocked —
+    the environment is zero-egress). Reference parity:
+    models/base.py:210-256."""
+    import huggingface_hub
+
+    from eetq_tpu.models.auto import resolve_checkpoint
+
+    assert resolve_checkpoint(str(tmp_path)) == str(tmp_path)
+
+    called = {}
+
+    def fake(repo_id, **kw):
+        called["id"] = repo_id
+        return str(tmp_path)
+
+    monkeypatch.setattr(huggingface_hub, "snapshot_download", fake)
+    assert resolve_checkpoint("org/some-model") == str(tmp_path)
+    assert called["id"] == "org/some-model"
