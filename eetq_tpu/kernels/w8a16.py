@@ -165,16 +165,20 @@ def _kernel_body(
         return y.astype(dtype)
 
     if bits == 4:
-        # Mosaic has no int8 vector shifts; widen to i32 (native lane
-        # width), sign-extend the nibbles there. int4 values |q| <= 8 are
-        # exact in bf16.
-        w32 = w_ref[:].astype(jnp.int32)
-        lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(w32, 28), 28)
-        hi = jax.lax.shift_right_arithmetic(w32, 4)
-        _dot_scaled(x_lo_ref[:], lo, s_in, g, row_base, acc_ref, dtype)
+        # Nibble split in the FLOAT domain: Mosaic has no int8 vector
+        # shifts, and widening to i32 quadruples register pressure. A
+        # packed byte w = (hi << 4) | (lo & 0xF) converts exactly to f32
+        # (integers <= 256 are exact), hi = floor(w / 16) reproduces the
+        # arithmetic shift for negatives, and the remainder r = w - 16*hi
+        # in [0, 15] sign-extends with one select. All lane-width VPU ops.
+        wf = w_ref[:].astype(jnp.float32)
+        hi_f = jnp.floor(wf * (1.0 / 16.0))
+        r = wf - 16.0 * hi_f
+        lo_f = jnp.where(r >= 8.0, r - 16.0, r)
+        _dot_scaled(x_lo_ref[:], lo_f, s_in, g, row_base, acc_ref, dtype)
         # high-half logical rows start at nk * bk
         hi_base = None if g is None else ((k + nk) * bk) // g
-        _dot_scaled(x_hi_ref[:], hi, s_in, g, hi_base, acc_ref, dtype)
+        _dot_scaled(x_hi_ref[:], hi_f, s_in, g, hi_base, acc_ref, dtype)
     else:
         _dot_scaled(load_x(x_lo_ref), w_ref[:], s_in, g, row_base, acc_ref, dtype)
 

@@ -488,12 +488,11 @@ class Engine:
         # host to sample anyway)
         logits_np = np.asarray(logits)
         for row, slot, req in assignments:
-            self.caches = [
-                self._backend.insert_rows(
-                    big, small, jnp.int32(row), jnp.int32(slot), upto
-                )
-                for big, small in zip(self.caches, self._scratch)
-            ]
+            # one dispatch for ALL layers (the insert is a generic tree.map)
+            self.caches = self._backend.insert_rows(
+                self.caches, self._scratch, jnp.int32(row), jnp.int32(slot),
+                upto,
+            )
             self._key, sub = jax.random.split(self._key)
             tok = int(
                 _sample_batch(jnp.asarray(logits_np[row])[None], sub,
@@ -546,18 +545,20 @@ class Engine:
         if not active:
             return
         # Multi-step greedy window: amortize the host round-trip over
-        # several decode iterations. Capped by the smallest remaining
-        # budget; disabled when any active slot samples (per-slot RNG) or
-        # when requests are still queued (admission latency).
+        # several decode iterations. ALWAYS the full fixed window (one
+        # compiled program — per-remaining-budget window sizes would
+        # recompile the scanned step at every distinct size); tokens past a
+        # slot's budget/eos are discarded and its cache rows beyond are
+        # garbage-tolerant (overwritten before ever being read on slot
+        # reuse). Single-step only when a queued request could actually be
+        # admitted next round (free slot exists — bounded admission
+        # latency) or when an active slot samples (per-slot RNG).
         window = 1
-        if self.decode_window > 1 and not self.queue:
+        if self.decode_window > 1 and (
+            not self.queue or self._free_slot() is None
+        ):
             if all(self.slot_req[i].temperature == 0.0 for i in active):
-                rem = min(
-                    self.slot_req[i].max_new_tokens
-                    - len(self.slot_req[i].out_tokens)
-                    for i in active
-                )
-                window = max(1, min(self.decode_window, rem))
+                window = self.decode_window
         if window > 1:
             lengths = jnp.asarray(np.maximum(self.lengths, 1), jnp.int32)
             tokens = jnp.asarray(self.next_token[:, None], jnp.int32)

@@ -15,7 +15,9 @@ ROOT = os.path.join(os.path.dirname(__file__), "..")
 
 
 def run(batch: int, bits: int | None, skip_bf16: bool = False) -> dict:
-    env = dict(os.environ, EETQ_BENCH_BATCH=str(batch))
+    # the sweep covers batches; the 13B estimate is bench.py's own default
+    # extra and would rebuild three models per invocation here
+    env = dict(os.environ, EETQ_BENCH_BATCH=str(batch), EETQ_BENCH_13B="0")
     if bits is not None:
         env["EETQ_BENCH_BITS"] = str(bits)
     if skip_bf16:
