@@ -200,7 +200,7 @@ def _candidate_configs(m: int, kp: int, np_: int) -> list[MatmulConfig]:
     """Candidate blocks for a measured sweep — a superset of what the
     heuristic would pick, bounded so the sweep stays a handful of compiles."""
     kt = DEFAULT_LAYOUT.k_tile
-    k_divs = [d for d in range(kt, kp + 1, kt) if kp % d == 0]
+    k_divs = [d for d in range(kt, kp + 1, kt) if kp % d == 0] or [kp]
     out: list[MatmulConfig] = []
     if m <= MAX_DECODE_M:
         bks = sorted(
@@ -353,7 +353,12 @@ def autotune_shapes(
         shapes += [(1024, k, n) for k, n in proj]
     tuned = {}
     for m, k, n in shapes:
-        kp = -(-k // L.k_tile) * L.k_tile // (2 if bits == 4 else 1)
+        # padded PACKED data rows, matching layout.pack_weights: int4 pads
+        # K to 2*k_tile granules (split-half) then stores K/2 rows
+        if bits == 4:
+            kp = (-(-k // (2 * L.k_tile)) * 2 * L.k_tile) // 2
+        else:
+            kp = -(-k // L.k_tile) * L.k_tile
         np_ = -(-n // L.n_tile) * L.n_tile
         if verbose:
             print(f"tuning m={m} k={k} n={n} (bits={bits})...")

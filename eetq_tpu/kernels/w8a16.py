@@ -165,20 +165,24 @@ def _kernel_body(
         return y.astype(dtype)
 
     if bits == 4:
-        # Nibble split in the FLOAT domain: Mosaic has no int8 vector
-        # shifts, and widening to i32 quadruples register pressure. A
-        # packed byte w = (hi << 4) | (lo & 0xF) converts exactly to f32
-        # (integers <= 256 are exact), hi = floor(w / 16) reproduces the
-        # arithmetic shift for negatives, and the remainder r = w - 16*hi
-        # in [0, 15] sign-extends with one select. All lane-width VPU ops.
-        wf = w_ref[:].astype(jnp.float32)
-        hi_f = jnp.floor(wf * (1.0 / 16.0))
-        r = wf - 16.0 * hi_f
-        lo_f = jnp.where(r >= 8.0, r - 16.0, r)
-        _dot_scaled(x_lo_ref[:], lo_f, s_in, g, row_base, acc_ref, dtype)
+        # Nibble split with BITWISE int8 ops (Mosaic legalizes neither int8
+        # shifts nor int8 add/sub, but and/xor are native lane ops). For
+        # w = (hi << 4) | (lo & 0xF), two's complement gives:
+        #   hi16 = w & 0xF0            (= 16 * hi EXACTLY, sign included)
+        #   lo   = ((w & 15) ^ 8) - 8  (sign-extend; the -8 runs in bf16
+        #                               after the convert — one vector sub)
+        # and instead of dividing the [bk, bn] weight block by 16, the
+        # 1/16 folds into the TINY [bm, bk] x block (exact: power of two).
+        w8 = w_ref[:]
+        lo = jax.lax.bitwise_xor(
+            jax.lax.bitwise_and(w8, jnp.int8(15)), jnp.int8(8)
+        ).astype(dtype) - jnp.asarray(8.0, dtype)
+        hi16 = jax.lax.bitwise_and(w8, jnp.int8(0xF0 - 256))
+        x_hi = (x_hi_ref[:].astype(jnp.float32) * (1.0 / 16.0)).astype(dtype)
+        _dot_scaled(x_lo_ref[:], lo, s_in, g, row_base, acc_ref, dtype)
         # high-half logical rows start at nk * bk
         hi_base = None if g is None else ((k + nk) * bk) // g
-        _dot_scaled(x_hi_ref[:], hi_f, s_in, g, hi_base, acc_ref, dtype)
+        _dot_scaled(x_hi, hi16, s_in, g, hi_base, acc_ref, dtype)
     else:
         _dot_scaled(load_x(x_lo_ref), w_ref[:], s_in, g, row_base, acc_ref, dtype)
 

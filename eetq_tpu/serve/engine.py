@@ -214,9 +214,11 @@ class _ShardedBackend:
             self._multi[steps] = fn
         return fn(self.params, tokens, lengths, caches)
 
-    def slot_shard(self, slot: int, max_batch: int) -> int:
-        """Data shard owning slot `slot` (slots are contiguous per shard)."""
-        return slot // (max_batch // self.dp)
+    def slots_for_row(self, row: int, max_batch: int) -> range:
+        """Slots scratch row `row` may be inserted into: its own data shard
+        (the shard-local insert requires row's shard == slot's shard)."""
+        size = max_batch // self.dp
+        return range(row * size, (row + 1) * size)
 
     def insert_rows(self, big: KVCache, small: KVCache, src, slot,
                     upto_pad: int):
@@ -282,8 +284,10 @@ class _LocalBackend:
         self.params = params
         self.cfg = cfg
         self.a8_prefill = a8_prefill
+        self.prefill_rows = 1  # Engine may raise it (batched admission)
 
-    prefill_rows = 1
+    def slots_for_row(self, row: int, max_batch: int) -> range:
+        return range(max_batch)  # single device: any slot
 
     def place_caches(self, caches):
         return caches
@@ -305,9 +309,6 @@ class _LocalBackend:
             self.params, self.cfg, tokens, lengths, caches, steps,
             decode_kernel=jax.default_backend() == "tpu",
         )
-
-    def slot_shard(self, slot: int, max_batch: int) -> int:
-        return 0
 
     def insert_rows(self, big, small, src, slot, upto_pad: int):
         return _insert_rows(big, small, src, slot, upto_pad)
@@ -363,6 +364,7 @@ class Engine:
         seed: int = 0,
         a8_prefill: bool = False,
         decode_window: int | None = None,
+        prefill_rows: int | None = None,
     ):
         # `params` may be a plain ModelParams (with cfg) or a TP/DP-sharded
         # model (eetq_tpu.dist.ShardedModel; cfg comes from it).
@@ -378,6 +380,13 @@ class Engine:
             params, cfg = self._backend.params, self._backend.cfg
         else:
             self._backend = _LocalBackend(params, cfg, a8_prefill=a8_prefill)
+            if prefill_rows is not None:
+                # batched admission: up to prefill_rows requests prefill in
+                # ONE dispatch (single-device only; under DP the row count
+                # is fixed at dp, one scratch row per data shard)
+                self._backend.prefill_rows = max(
+                    1, min(prefill_rows, max_batch)
+                )
         if max_batch % self._backend.prefill_rows:
             raise ValueError(
                 f"max_batch {max_batch} must divide by dp "
@@ -521,15 +530,14 @@ class Engine:
         stalls the decode round for running slots)."""
         if self.queue:
             rows = self._backend.prefill_rows
-            shard_size = self.max_batch // rows
             assignments = []
-            for row in range(rows):  # scratch row i must land on shard i
+            for row in range(rows):  # under DP: scratch row i -> shard i
                 if not self.queue:
                     break
                 slot = next(
                     (
                         s
-                        for s in range(row * shard_size, (row + 1) * shard_size)
+                        for s in self._backend.slots_for_row(row, self.max_batch)
                         if self.slot_req[s] is None
                     ),
                     None,

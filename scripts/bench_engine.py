@@ -80,7 +80,8 @@ def main():
 
     def run_engine(win) -> float:
         eng = Engine(params, cfg, max_batch=batch, max_len=max_len,
-                     prompt_buckets=(prompt_len,), decode_window=win)
+                     prompt_buckets=(prompt_len,), decode_window=win,
+                     prefill_rows=min(4, batch))
         # warm compiles on BOTH decode paths (multi-window AND the
         # single-step used near admissions) plus prefill: a staggered
         # mini-workload shaped like the timed one

@@ -161,3 +161,11 @@ def test_e2e_logits_int8(midsize):
 def test_e2e_logits_int4_g128(midsize):
     kl, _ = _kl_top1(midsize, bits=4, group_size=128)
     assert kl < 0.3, kl
+
+
+def test_e2e_logits_int8_quantized_lm_head(midsize):
+    """bench.py quantizes the lm_head by default (measured +1.8 tok/s);
+    the extra logits error must stay negligible."""
+    kl, top1 = _kl_top1(midsize, bits=8, exclude=())
+    assert kl < 0.01, kl
+    assert top1 > 0.85, top1

@@ -251,3 +251,14 @@ def test_a8_prefill_engine(params):
     for a, b in zip(o16, o8):
         assert len(a) == len(b) == 4
         assert all(0 <= t < CFG.vocab_size for t in b)
+
+
+def test_batched_local_prefill_rows(params):
+    """prefill_rows > 1 on the local backend: several requests admitted in
+    one grouped prefill dispatch; outputs identical to single-admission."""
+    prompts = [[5, 6, 7], [11] * 10, [1, 2], [9, 9, 9, 9]]
+    eng = Engine(params, CFG, max_batch=4, max_len=64, prompt_buckets=(16,),
+                 prefill_rows=4)
+    outs = eng.generate_all(prompts, max_new_tokens=6)
+    for p, got in zip(prompts, outs):
+        assert got == _ref_greedy(params, p, 6), (p, got)
