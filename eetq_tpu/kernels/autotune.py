@@ -150,6 +150,16 @@ def choose_config(m: int, kp: int, np_: int, bits: int = 8) -> MatmulConfig:
         bn = 256
         kt = DEFAULT_LAYOUT.k_tile
         divisors = [d for d in range(kt, kp + 1, kt) if kp % d == 0]
+        if bits == 4 and np_ % 512 == 0:
+            # int4 is VPU-(unpack-)bound, not DMA-bound: BIGGER blocks win
+            # decisively (vmap-probe + e2e r2: bn=512 deep-bk 644-678 GB/s
+            # vs bn=256's 502-610; llama2-7b W4A16 e2e 123 -> 143 tok/s).
+            fitting = [
+                d for d in divisors
+                if MatmulConfig(bm, 512, d).vmem_bytes() <= VMEM_BUDGET_BYTES
+            ]
+            if fitting:
+                return MatmulConfig(bm=bm, bn=512, bk=fitting[-1])
         # Largest divisor in the sweet band [2048, 6144] (bk=4096 measured
         # 755-839 GB/s vs 632-707 at bk=2048); else the smallest divisor
         # above it that fits VMEM (a big block still streams near peak —
