@@ -76,7 +76,8 @@ class Epilogue:
             raise ValueError(f"unknown residual mode {self.residual!r}")
 
 
-def _dot_scaled(x_blk, w_blk, s_ref, g: int | None, row_base, acc_ref, dtype):
+def _dot_scaled(x_blk, w_blk, s_ref, g: int | None, row_base, acc_ref, dtype,
+                bias_correction: float = 0.0):
     """acc += x @ dequant(w) for one (possibly int4-half) weight block.
 
     x_blk [bm, bk], w_blk int8 [bk, bn] (already sign-extended values).
@@ -85,24 +86,42 @@ def _dot_scaled(x_blk, w_blk, s_ref, g: int | None, row_base, acc_ref, dtype):
     row_base is the (traced) scale row of this block's first K element.
     Group scales are ALWAYS applied in-loop to the f32 partial dot — exact,
     and correct across blocks with different scale rows.
+
+    bias_correction = c != 0 means w_blk holds w + c (uniformly biased
+    values, e.g. int4 low nibbles kept at lo+8): the dot identity
+    x @ (w + c) - c * rowsum(x) recovers x @ w with one [bm, 1] reduction
+    instead of debiasing the whole [bk, bn] weight block.
     """
     w = w_blk.astype(dtype)
     if s_ref is None:
         acc_ref[:] += jnp.dot(x_blk, w, preferred_element_type=jnp.float32)
+        if bias_correction:
+            acc_ref[:] -= bias_correction * jnp.sum(
+                x_blk.astype(jnp.float32), axis=-1, keepdims=True
+            )
         return
     bk = w_blk.shape[0]
     if g >= bk:
         # group spans >= 1 whole blocks: one scale row for the block
         part = jnp.dot(x_blk, w, preferred_element_type=jnp.float32)
+        if bias_correction:
+            part -= bias_correction * jnp.sum(
+                x_blk.astype(jnp.float32), axis=-1, keepdims=True
+            )
         s_row = s_ref[pl.ds(row_base, 1), :]
         acc_ref[:] += part * s_row.astype(jnp.float32)
         return
     for t in range(bk // g):
+        xg = x_blk[:, t * g : (t + 1) * g]
         part = jnp.dot(
-            x_blk[:, t * g : (t + 1) * g],
+            xg,
             w[t * g : (t + 1) * g, :],
             preferred_element_type=jnp.float32,
         )
+        if bias_correction:
+            part -= bias_correction * jnp.sum(
+                xg.astype(jnp.float32), axis=-1, keepdims=True
+            )
         s_row = s_ref[pl.ds(row_base + t, 1), :]
         acc_ref[:] += part * s_row.astype(jnp.float32)
 
@@ -168,18 +187,23 @@ def _kernel_body(
         # Nibble split with BITWISE int8 ops (Mosaic legalizes neither int8
         # shifts nor int8 add/sub, but and/xor are native lane ops). For
         # w = (hi << 4) | (lo & 0xF), two's complement gives:
-        #   hi16 = w & 0xF0            (= 16 * hi EXACTLY, sign included)
-        #   lo   = ((w & 15) ^ 8) - 8  (sign-extend; the -8 runs in bf16
-        #                               after the convert — one vector sub)
-        # and instead of dividing the [bk, bn] weight block by 16, the
-        # 1/16 folds into the TINY [bm, bk] x block (exact: power of two).
+        #   hi16     = w & 0xF0          (= 16 * hi EXACTLY, sign included)
+        #   lo_bias8 = (w & 15) ^ 8      (= lo + 8 EXACTLY, in [0, 15])
+        # The low dot runs against the BIASED nibbles — the -8 debias is a
+        # [bm, 1] rowsum-of-x correction on the accumulator (dot identity:
+        # x @ (lo+8) - 8*rowsum(x) == x @ lo) instead of a [bk, bn] vector
+        # subtract over the weight block. And instead of dividing the
+        # weight block by 16, the 1/16 folds into the TINY [bm, bk] x
+        # block (exact: power of two). Weight-side VPU work per byte: two
+        # int8 bitwise ops + the two unavoidable int->bf16 converts.
         w8 = w_ref[:]
-        lo = jax.lax.bitwise_xor(
+        lo_bias8 = jax.lax.bitwise_xor(
             jax.lax.bitwise_and(w8, jnp.int8(15)), jnp.int8(8)
-        ).astype(dtype) - jnp.asarray(8.0, dtype)
+        )
         hi16 = jax.lax.bitwise_and(w8, jnp.int8(0xF0 - 256))
         x_hi = (x_hi_ref[:].astype(jnp.float32) * (1.0 / 16.0)).astype(dtype)
-        _dot_scaled(x_lo_ref[:], lo, s_in, g, row_base, acc_ref, dtype)
+        _dot_scaled(x_lo_ref[:], lo_bias8, s_in, g, row_base, acc_ref, dtype,
+                    bias_correction=8.0)
         # high-half logical rows start at nk * bk
         hi_base = None if g is None else ((k + nk) * bk) // g
         _dot_scaled(x_hi, hi16, s_in, g, hi_base, acc_ref, dtype)
