@@ -40,7 +40,14 @@ exact = np.asarray(x, np.float32) @ w
 err = np.abs(np.asarray(out_packed, np.float32) - exact).mean()
 print(f"mean abs err vs fp32 matmul: {err:.5f}")
 
-# perf: ITERS chained calls inside one jitted loop (single dispatch)
+# perf: ITERS chained calls inside one jitted loop (single dispatch).
+# Meaningful on the TPU only — interpret-mode Pallas on CPU would grind
+# through 500 full-size matmuls.
+if jax.default_backend() != "tpu":
+    print("(skipping the timing loop off-TPU)")
+    sys.exit(0)
+
+
 @jax.jit
 def loop(x):
     def body(i, c):
