@@ -315,6 +315,29 @@ class _LocalBackend:
 
 
 @functools.partial(
+    jax.jit, static_argnames=("cfg", "offset"), donate_argnames=("caches",)
+)
+def _prefill_chunk_step(params, cfg: ModelConfig, chunk, caches, offset: int,
+                        last_idx):
+    """One STATIC-offset prefill chunk on the scratch caches (the chunk
+    attends over cache[:, :, :offset+c] — modules.attention's chunked
+    path). Returns (logits at last_idx [R, V], caches)."""
+    from eetq_tpu.models.transformer import forward_inner
+
+    r, c = chunk.shape
+    positions = jnp.broadcast_to(
+        offset + jnp.arange(c, dtype=jnp.int32), (r, c)
+    )
+    logits, caches = forward_inner(
+        params, cfg, chunk, positions, caches, offset
+    )
+    last = jnp.take_along_axis(
+        logits, jnp.broadcast_to(last_idx, (r,))[:, None, None], axis=1
+    )[:, 0]
+    return last, caches
+
+
+@functools.partial(
     jax.jit, static_argnames=("upto_pad",), donate_argnames=("big",)
 )
 def _insert_rows(big: KVCache, small: KVCache, src, slot, upto_pad: int):
@@ -365,6 +388,7 @@ class Engine:
         a8_prefill: bool = False,
         decode_window: int | None = None,
         prefill_rows: int | None = None,
+        prefill_chunk: int | None = None,
     ):
         # `params` may be a plain ModelParams (with cfg) or a TP/DP-sharded
         # model (eetq_tpu.dist.ShardedModel; cfg comes from it).
@@ -406,6 +430,17 @@ class Engine:
         if decode_window is None:
             decode_window = 8 if jax.default_backend() == "tpu" else 1
         self.decode_window = max(1, decode_window)
+        # prefill_chunk: prompts whose bucket exceeds this prefill one
+        # chunk per scheduler step (decode advances BETWEEN chunks —
+        # bounded head-of-line latency for running slots). Local backend
+        # only; chunk must divide the buckets it applies to.
+        if prefill_chunk is not None and isinstance(
+            self._backend, _ShardedBackend
+        ):
+            raise ValueError("prefill_chunk is local-backend only")
+        self.prefill_chunk = prefill_chunk
+        # in-flight chunked prefill: (req, slot, toks [1, bucket], n, done)
+        self._chunking: tuple | None = None
         self._scratch = None  # reused prefill scratch caches
         self._key = jax.random.PRNGKey(seed)
         self._uid = itertools.count()
@@ -513,6 +548,57 @@ class Engine:
             self.next_token[slot] = tok
             self._commit(slot, tok)
 
+    def _start_chunked(self, slot: int, req: Request) -> None:
+        """Begin a chunked prefill: the slot is reserved (slot_req set, but
+        lengths stays 0 so decode skips it) and one chunk runs per
+        scheduler step on the scratch cache — decode for RUNNING slots
+        advances between chunks instead of stalling for the whole prompt."""
+        rows = self._backend.prefill_rows
+        bucket = self._bucket_for(len(req.prompt))
+        toks = np.zeros((rows, bucket), np.int32)
+        toks[0, : len(req.prompt)] = req.prompt
+        if self._scratch is None:
+            self._scratch = self._backend.place_caches(
+                init_caches(self.cfg, rows, self.max_len, self.kv_dtype)
+            )
+        self.slot_req[slot] = req  # reserve (lengths[slot] == 0 -> no decode)
+        self._chunking = (req, slot, toks, bucket, 0, None)
+        self._chunk_step()
+
+    def _chunk_step(self) -> None:
+        """Advance the in-flight chunked prefill by ONE chunk."""
+        req, slot, toks, bucket, done, last_logits = self._chunking
+        c = self.prefill_chunk
+        offset = done * c
+        n = len(req.prompt)
+        chunk = jnp.asarray(toks[:, offset : offset + c])
+        # index of the LAST REAL token within this chunk (clamped; only the
+        # owning chunk's gather is kept)
+        li = min(max(n - 1 - offset, 0), c - 1)
+        logits, self._scratch = _prefill_chunk_step(
+            self.params, self.cfg, chunk, self._scratch, offset, jnp.int32(li)
+        )
+        if offset <= n - 1 < offset + c:
+            last_logits = logits
+        done += 1
+        if done * c < bucket:
+            self._chunking = (req, slot, toks, bucket, done, last_logits)
+            return
+        # final chunk done: sample and activate the slot
+        self._chunking = None
+        self._key, sub = jax.random.split(self._key)
+        tok = int(
+            _sample_batch(jnp.asarray(np.asarray(last_logits)[0])[None], sub,
+                          self.cfg, req.temperature, req.top_k)[0]
+        )
+        upto = min(bucket, self.max_len)
+        self.caches = self._backend.insert_rows(
+            self.caches, self._scratch, jnp.int32(0), jnp.int32(slot), upto
+        )
+        self.lengths[slot] = n
+        self.next_token[slot] = tok
+        self._commit(slot, tok)
+
     def _commit(self, slot: int, tok: int) -> None:
         """Append a sampled token to the slot's request; retire if done."""
         req = self.slot_req[slot]
@@ -528,28 +614,52 @@ class Engine:
         grouped prefill — up to dp rows at once under DP), then advance all
         active slots by a decode window IN THE SAME STEP (prefill no longer
         stalls the decode round for running slots)."""
-        if self.queue:
-            rows = self._backend.prefill_rows
-            assignments = []
-            for row in range(rows):  # under DP: scratch row i -> shard i
-                if not self.queue:
-                    break
-                slot = next(
-                    (
-                        s
-                        for s in self._backend.slots_for_row(row, self.max_batch)
-                        if self.slot_req[s] is None
-                    ),
-                    None,
-                )
-                if slot is None:
-                    continue
-                req = self.queue.popleft()
-                assignments.append((row, slot, req))
-                self.slot_req[slot] = req  # reserve
-            if assignments:
-                self._prefill_group(assignments)
-        active = [i for i, s in enumerate(self.slot_req) if s is not None]
+        if self._chunking is not None:
+            # in-flight chunked prefill: one chunk per step (decode below
+            # still advances the running slots)
+            self._chunk_step()
+        elif self.queue:
+            head = self.queue[0]
+            head_bucket = self._bucket_for(len(head.prompt))
+            if (
+                self.prefill_chunk
+                and head_bucket > self.prefill_chunk
+                and head_bucket % self.prefill_chunk == 0
+            ):
+                slot = self._free_slot()
+                if slot is not None:
+                    self.queue.popleft()
+                    self._start_chunked(slot, head)
+            else:
+                rows = self._backend.prefill_rows
+                assignments = []
+                for row in range(rows):  # under DP: scratch row i -> shard i
+                    if not self.queue:
+                        break
+                    slot = next(
+                        (
+                            s
+                            for s in self._backend.slots_for_row(
+                                row, self.max_batch
+                            )
+                            if self.slot_req[s] is None
+                        ),
+                        None,
+                    )
+                    if slot is None:
+                        continue
+                    req = self.queue.popleft()
+                    assignments.append((row, slot, req))
+                    self.slot_req[slot] = req  # reserve
+                if assignments:
+                    self._prefill_group(assignments)
+        # active = prefilled slots only (lengths > 0); a slot reserved by an
+        # in-flight chunked prefill has lengths 0 and must not decode
+        active = [
+            i
+            for i, s in enumerate(self.slot_req)
+            if s is not None and self.lengths[i] > 0
+        ]
         if not active:
             return
         # Multi-step greedy window: amortize the host round-trip over

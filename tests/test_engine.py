@@ -262,3 +262,46 @@ def test_batched_local_prefill_rows(params):
     outs = eng.generate_all(prompts, max_new_tokens=6)
     for p, got in zip(prompts, outs):
         assert got == _ref_greedy(params, p, 6), (p, got)
+
+
+def test_chunked_prefill_engine(params):
+    """prefill_chunk: long prompts prefill one chunk per scheduler step,
+    decode advancing between chunks; outputs identical to the unchunked
+    engine and to greedy_generate."""
+    rng = np.random.default_rng(3)
+    long_prompt = list(rng.integers(1, CFG.vocab_size, size=30))
+    short = [5, 6, 7]
+    ref_long = _ref_greedy(params, long_prompt, 6)
+    ref_short = _ref_greedy(params, short, 8)
+
+    eng = Engine(params, CFG, max_batch=2, max_len=96, prompt_buckets=(8, 32),
+                 prefill_chunk=8)
+    u_short = eng.add_request(short, 8)
+    # let the short one start decoding before the long prompt arrives
+    for _ in range(3):
+        eng.step()
+    u_long = eng.add_request(long_prompt, 6)
+    eng.run()
+    assert eng.result(u_short) == ref_short
+    assert eng.result(u_long) == ref_long
+
+
+def test_chunked_prefill_engine_interleaves(params):
+    """The long prompt must NOT stall the running slot: its decode count
+    grows while the chunked prefill is in flight."""
+    rng = np.random.default_rng(4)
+    long_prompt = list(rng.integers(1, CFG.vocab_size, size=31))
+    eng = Engine(params, CFG, max_batch=2, max_len=96, prompt_buckets=(8, 32),
+                 prefill_chunk=8, decode_window=1)
+    u_short = eng.add_request([5, 6, 7], 12)
+    eng.step()  # prefill short
+    u_long = eng.add_request(long_prompt, 4)
+    progressed = []
+    for _ in range(4):  # 4 chunks of the long prefill
+        before = len(eng.requests[u_short].out_tokens)
+        eng.step()
+        progressed.append(len(eng.requests[u_short].out_tokens) > before)
+    # decode advanced during every chunked-prefill step
+    assert all(progressed), progressed
+    eng.run()
+    assert eng.result(u_long) == _ref_greedy(params, long_prompt, 4)
