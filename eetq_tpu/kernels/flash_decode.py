@@ -44,11 +44,15 @@ def _fd_kernel(
     window: int | None,
     quantized: bool,
     alibi: bool,
-    # refs: lengths(SMEM), q, k, v, [ks, vs], [slopes(SMEM)], out, m, l, acc
+    # refs: lengths(SMEM), [table(SMEM)], q, k, v, [ks, vs],
+    #       [slopes(SMEM)], out, m, l, acc
     *refs,
+    paged: bool = False,
 ):
     refs = list(refs)
     len_ref = refs.pop(0)
+    if paged:
+        refs.pop(0)  # block table: consumed by the index maps only
     q_ref, k_ref, v_ref = refs[:3]
     refs = refs[3:]
     ks_ref = vs_ref = None
@@ -57,6 +61,10 @@ def _fd_kernel(
         refs = refs[2:]
     slopes_ref = refs.pop(0) if alibi else None  # [1, Hq] in SMEM
     out_ref, m_ref, l_ref, acc_ref = refs
+
+    def kv(ref, t):
+        # paged pool blocks carry a leading [1] pool axis
+        return ref[0, 0, t] if paged else ref[0, t]
 
     b = pl.program_id(0)
     hi = pl.program_id(1)
@@ -91,11 +99,11 @@ def _fd_kernel(
             mask &= col >= length - window
         for t in range(bh):  # unrolled over the head block
             q = (q_ref[0, t].astype(jnp.float32) * scale)  # [G, D]
-            k = k_ref[0, t]  # [bl, D]
-            v = v_ref[0, t]
+            k = kv(k_ref, t)  # [bl, D]
+            v = kv(v_ref, t)
             if quantized:
-                k = k.astype(jnp.bfloat16) * ks_ref[0, t].astype(jnp.bfloat16)
-                v = v.astype(jnp.bfloat16) * vs_ref[0, t].astype(jnp.bfloat16)
+                k = k.astype(jnp.bfloat16) * kv(ks_ref, t).astype(jnp.bfloat16)
+                v = v.astype(jnp.bfloat16) * kv(vs_ref, t).astype(jnp.bfloat16)
             q_ = q.astype(k.dtype)
             s = jax.lax.dot_general(
                 q_, k, (((1,), (1,)), ((), ())),
@@ -127,6 +135,106 @@ def _fd_kernel(
             l = l_ref[r, :1]
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
             out_ref[0, t] = (acc_ref[r] * l_inv).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window", "scale", "block_h", "interpret"),
+)
+def paged_flash_decode(
+    q: jax.Array,
+    cache,
+    lengths,
+    window: int | None = None,
+    scale: float | None = None,
+    block_h: int | None = None,
+    interpret: bool | None = None,
+    slopes: jax.Array | None = None,
+) -> jax.Array:
+    """Flash decode over a PAGED cache (modules.paged.PagedKVCache).
+
+    Same kernel body as flash_decode — the only difference is the KV index
+    map: the block table is scalar-prefetched alongside the lengths, and
+    logical L-block li of row b maps to PHYSICAL pool block
+    table[b, min(li, last_valid)], so only the ceil(length/bs) blocks a row
+    actually owns are ever DMA'd, wherever they sit in the pool. The
+    L-block size is the pool's block_size (whole pool blocks)."""
+    b, s, hq, d = q.shape
+    assert s == 1, "paged_flash_decode is the single-token path"
+    nb_pool, hkv, bs, _ = cache.k.shape
+    group = hq // hkv
+    nl = cache.table.shape[1]  # logical blocks per sequence
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    if block_h is None:
+        block_h = max(1, min(hkv, 32 // group, (512 * 1024) // (bs * d)))
+    bh = block_h
+    while hkv % bh:
+        bh -= 1
+    nh = hkv // bh
+
+    lengths = jnp.broadcast_to(jnp.asarray(lengths, jnp.int32).reshape(-1), (b,))
+    qg = q[:, 0].reshape(b, hkv, group, d)
+    quantized = cache.quantized
+
+    # pools have no batch dim; a leading [1] axis keeps the same per-block
+    # layout as the dense kernel, with the POOL block chosen by the table
+    def kv_map_pool(bb, h, li, lens, tbl):
+        last = jnp.maximum(lens[bb] - 1, 0) // bs
+        return 0, tbl[bb, jnp.minimum(li, last)], h, 0, 0
+
+    in_specs = [
+        pl.BlockSpec((1, bh, group, d),
+                     lambda bb, h, li, lens, tbl: (bb, h, 0, 0)),
+        pl.BlockSpec((1, 1, bh, bs, d), kv_map_pool),
+        pl.BlockSpec((1, 1, bh, bs, d), kv_map_pool),
+    ]
+    operands = [qg, cache.k[None], cache.v[None]]
+    if quantized:
+        in_specs.append(pl.BlockSpec((1, 1, bh, bs, 1), kv_map_pool))
+        in_specs.append(pl.BlockSpec((1, 1, bh, bs, 1), kv_map_pool))
+        operands.append(cache.k_scale[None].reshape(1, nb_pool, hkv, bs, 1))
+        operands.append(cache.v_scale[None].reshape(1, nb_pool, hkv, bs, 1))
+    alibi = slopes is not None
+    if alibi:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, hq),
+                lambda bb, h, li, lens, tbl: (0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        )
+        operands.append(slopes.astype(jnp.float32).reshape(1, hq))
+
+    kernel = functools.partial(
+        _fd_kernel, nl, bs, bh, scale, window, quantized, alibi, paged=True
+    )
+    srows = max(bh * group, 8)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, nh, nl),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, bh, group, d), lambda bb, h, li, lens, tbl: (bb, h, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((srows, 128), jnp.float32),
+                pltpu.VMEM((srows, 128), jnp.float32),
+                pltpu.VMEM((srows, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, cache.table, *operands)
+    return out.reshape(b, 1, hq, d)
 
 
 @functools.partial(

@@ -110,6 +110,12 @@ LLAMA2_70B = ModelConfig(
     model_type="llama",
 )
 
+LLAMA3_8B = ModelConfig(
+    vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+    num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+    max_position=8192, rope_theta=500000.0, model_type="llama",
+)
+
 MISTRAL_7B = ModelConfig(
     vocab_size=32000, hidden_size=4096, intermediate_size=14336, num_layers=32,
     num_heads=32, num_kv_heads=8, head_dim=128, max_position=32768,
@@ -147,6 +153,7 @@ PRESETS = {
     "llama2-7b": LLAMA2_7B,
     "llama2-13b": LLAMA2_13B,
     "llama2-70b": LLAMA2_70B,
+    "llama3-8b": LLAMA3_8B,
     "mistral-7b": MISTRAL_7B,
     "gemma-7b": GEMMA_7B,
     "baichuan-7b": BAICHUAN_7B,

@@ -311,6 +311,22 @@ def attention(
     Returns (attn_out [B, S, Hq, D], updated cache).
     """
     s = q.shape[1]
+    if cache is not None and type(cache).__name__ == "PagedKVCache":
+        # paged decode (modules.paged): scatter-write through the block
+        # table, then the paged flash-decode kernel / gather oracle
+        from eetq_tpu.modules.paged import paged_attention_decode, paged_write
+
+        if s != 1:
+            raise NotImplementedError(
+                "paged caches serve decode; prefill runs on the dense "
+                "scratch and hands off via paged_insert_dense"
+            )
+        cache = paged_write(cache, k_new, v_new, offset)
+        out = paged_attention_decode(
+            q, cache, jnp.asarray(offset) + 1, window=window,
+            use_kernel=decode_kernel, slopes=slopes,
+        )
+        return out, cache
     if cache is not None:
         cache = update_cache(cache, k_new, v_new, offset)
     if s == 1:

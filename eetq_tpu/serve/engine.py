@@ -389,6 +389,8 @@ class Engine:
         decode_window: int | None = None,
         prefill_rows: int | None = None,
         prefill_chunk: int | None = None,
+        paged_blocks: int | None = None,
+        paged_block_size: int = 256,
     ):
         # `params` may be a plain ModelParams (with cfg) or a TP/DP-sharded
         # model (eetq_tpu.dist.ShardedModel; cfg comes from it).
@@ -424,9 +426,47 @@ class Engine:
             sorted(b for b in prompt_buckets if b <= self.max_len)
         ) or (self.max_len,)
         self.kv_dtype = kv_dtype
-        self.caches = self._backend.place_caches(
-            init_caches(cfg, max_batch, self.max_len, kv_dtype)
-        )
+        # paged_blocks: decode caches become a shared block POOL of that
+        # many paged_block_size-token blocks per layer (vLLM-style paging,
+        # TPU-native — modules.paged). Slots borrow blocks as their
+        # sequences grow and return them on retirement, so device memory
+        # scales with LIVE tokens, not max_batch * max_len. Local backend
+        # only; prefill still runs on the dense scratch and hands off.
+        self.paged = paged_blocks is not None
+        if self.paged:
+            if isinstance(self._backend, _ShardedBackend):
+                raise ValueError("paged KV is local-backend only for now")
+            from eetq_tpu.modules.paged import init_paged_kv_cache
+
+            bs = paged_block_size
+            self.paged_bs = bs
+            self._max_seq_blocks = -(-self.max_len // bs)
+            self.caches = [
+                init_paged_kv_cache(
+                    paged_blocks, bs, cfg.num_kv_heads, cfg.head_dim,
+                    max_batch, self._max_seq_blocks, kv_dtype,
+                )
+                for _ in range(cfg.num_layers)
+            ]
+            if paged_blocks < 2:
+                raise ValueError("paged_blocks must be >= 2")
+            if bs > -(-self.max_len // 128) * 128:
+                raise ValueError(
+                    f"paged_block_size {bs} exceeds the (rounded) max_len"
+                )
+            # block 0 is a TRASH block, never allocated: inactive slots'
+            # lock-step garbage writes land there (their table rows point
+            # at it), so freed-and-reallocated blocks can't be corrupted
+            self._free_blocks = list(range(paged_blocks - 1, 0, -1))
+            self._slot_blocks: list[list[int]] = [[] for _ in range(max_batch)]
+            self._table_np = np.zeros(
+                (max_batch, self._max_seq_blocks), np.int32
+            )
+            self._table_dirty = True
+        else:
+            self.caches = self._backend.place_caches(
+                init_caches(cfg, max_batch, self.max_len, kv_dtype)
+            )
         if decode_window is None:
             decode_window = 8 if jax.default_backend() == "tpu" else 1
         self.decode_window = max(1, decode_window)
@@ -505,6 +545,52 @@ class Engine:
                 return b
         return self.max_len
 
+    # ---- paged-KV block allocator (host side) ----
+
+    def _alloc_blocks(self, slot: int, upto_tokens: int) -> None:
+        """Grow the slot's block list to cover `upto_tokens` positions."""
+        need = min(-(-upto_tokens // self.paged_bs), self._max_seq_blocks)
+        blocks = self._slot_blocks[slot]
+        while len(blocks) < need:
+            if not self._free_blocks:
+                raise RuntimeError(
+                    "paged KV pool exhausted — raise paged_blocks, lower "
+                    "max_batch, or shorten max_new_tokens"
+                )
+            b = self._free_blocks.pop()
+            self._table_np[slot, len(blocks)] = b
+            blocks.append(b)
+            self._table_dirty = True
+
+    def _release_blocks(self, slot: int) -> None:
+        self._free_blocks.extend(reversed(self._slot_blocks[slot]))
+        self._slot_blocks[slot] = []
+        self._table_np[slot, :] = 0  # point the row at the trash block
+        self._table_dirty = True
+
+    def _sync_tables(self) -> None:
+        if self.paged and self._table_dirty:
+            # one table COPY per layer: the decode step donates the cache
+            # pytree, and a single shared buffer would be donated N times
+            self.caches = [
+                dataclasses.replace(c, table=jnp.array(self._table_np))
+                for c in self.caches
+            ]
+            self._table_dirty = False
+
+    def _paged_activate(self, row: int, slot: int, n: int) -> None:
+        """Hand the prefilled scratch row off into the slot's pool blocks."""
+        from eetq_tpu.modules.paged import paged_insert_dense
+
+        self._alloc_blocks(slot, n)
+        self._sync_tables()
+        nb = len(self._slot_blocks[slot])
+        blocks = jnp.asarray(self._table_np[slot, :nb])
+        self.caches = [
+            paged_insert_dense(c, s, jnp.int32(row), blocks, nb)
+            for c, s in zip(self.caches, self._scratch)
+        ]
+
     def _prefill_group(self, assignments: list[tuple[int, int, Request]]) -> None:
         """Prefill up to prefill_rows requests in one dispatch (one scratch
         row per data shard under DP) and insert each into its slot.
@@ -532,11 +618,14 @@ class Engine:
         # host to sample anyway)
         logits_np = np.asarray(logits)
         for row, slot, req in assignments:
-            # one dispatch for ALL layers (the insert is a generic tree.map)
-            self.caches = self._backend.insert_rows(
-                self.caches, self._scratch, jnp.int32(row), jnp.int32(slot),
-                upto,
-            )
+            if self.paged:
+                self._paged_activate(row, slot, len(req.prompt))
+            else:
+                # one dispatch for ALL layers (generic tree.map insert)
+                self.caches = self._backend.insert_rows(
+                    self.caches, self._scratch, jnp.int32(row),
+                    jnp.int32(slot), upto,
+                )
             self._key, sub = jax.random.split(self._key)
             tok = int(
                 _sample_batch(jnp.asarray(logits_np[row])[None], sub,
@@ -591,10 +680,13 @@ class Engine:
             _sample_batch(jnp.asarray(np.asarray(last_logits)[0])[None], sub,
                           self.cfg, req.temperature, req.top_k)[0]
         )
-        upto = min(bucket, self.max_len)
-        self.caches = self._backend.insert_rows(
-            self.caches, self._scratch, jnp.int32(0), jnp.int32(slot), upto
-        )
+        if self.paged:
+            self._paged_activate(0, slot, n)
+        else:
+            upto = min(bucket, self.max_len)
+            self.caches = self._backend.insert_rows(
+                self.caches, self._scratch, jnp.int32(0), jnp.int32(slot), upto
+            )
         self.lengths[slot] = n
         self.next_token[slot] = tok
         self._commit(slot, tok)
@@ -608,6 +700,8 @@ class Engine:
             req.done = True
             self.slot_req[slot] = None
             self.lengths[slot] = 0
+            if self.paged:
+                self._release_blocks(slot)
 
     def step(self) -> None:
         """One scheduler step: admit queued requests into free slots (one
@@ -677,6 +771,13 @@ class Engine:
         ):
             if all(self.slot_req[i].temperature == 0.0 for i in active):
                 window = self.decode_window
+        if self.paged:
+            # every active slot needs blocks covering this round's writes
+            # (window overshoot included), and retired slots' table rows
+            # must point at the trash block before the dispatch
+            for i in active:
+                self._alloc_blocks(i, int(self.lengths[i]) + window)
+            self._sync_tables()
         if window > 1:
             lengths = jnp.asarray(np.maximum(self.lengths, 1), jnp.int32)
             tokens = jnp.asarray(self.next_token[:, None], jnp.int32)
