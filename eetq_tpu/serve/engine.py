@@ -338,6 +338,19 @@ def _prefill_chunk_step(params, cfg: ModelConfig, chunk, caches, offset: int,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("n_blocks",), donate_argnames=("caches",)
+)
+def _paged_insert_all(caches, scratch, src_row, blocks, n_blocks: int):
+    """All layers' prefill hand-offs into pool blocks in ONE dispatch."""
+    from eetq_tpu.modules.paged import paged_insert_dense
+
+    return [
+        paged_insert_dense(c, s, src_row, blocks, n_blocks)
+        for c, s in zip(caches, scratch)
+    ]
+
+
+@functools.partial(
     jax.jit, static_argnames=("upto_pad",), donate_argnames=("big",)
 )
 def _insert_rows(big: KVCache, small: KVCache, src, slot, upto_pad: int):
@@ -580,16 +593,14 @@ class Engine:
 
     def _paged_activate(self, row: int, slot: int, n: int) -> None:
         """Hand the prefilled scratch row off into the slot's pool blocks."""
-        from eetq_tpu.modules.paged import paged_insert_dense
-
         self._alloc_blocks(slot, n)
         self._sync_tables()
         nb = len(self._slot_blocks[slot])
         blocks = jnp.asarray(self._table_np[slot, :nb])
-        self.caches = [
-            paged_insert_dense(c, s, jnp.int32(row), blocks, nb)
-            for c, s in zip(self.caches, self._scratch)
-        ]
+        # ONE dispatch for all layers
+        self.caches = _paged_insert_all(
+            self.caches, self._scratch, jnp.int32(row), blocks, nb
+        )
 
     def _prefill_group(self, assignments: list[tuple[int, int, Request]]) -> None:
         """Prefill up to prefill_rows requests in one dispatch (one scratch
@@ -606,8 +617,10 @@ class Engine:
             toks[row, :n] = req.prompt
             lens[row] = n
         if self._scratch is None:
+            # scratch rows only ever hold PREFILL content (< the largest
+            # bucket); sizing them to max_len would waste device memory
             self._scratch = self._backend.place_caches(
-                init_caches(self.cfg, rows, self.max_len, self.kv_dtype)
+                init_caches(self.cfg, rows, max(self.buckets), self.kv_dtype)
             )
         logits, self._scratch = self._backend.prefill(
             jnp.asarray(toks), jnp.asarray(lens), bucket, self._scratch
@@ -647,8 +660,10 @@ class Engine:
         toks = np.zeros((rows, bucket), np.int32)
         toks[0, : len(req.prompt)] = req.prompt
         if self._scratch is None:
+            # scratch rows only ever hold PREFILL content (< the largest
+            # bucket); sizing them to max_len would waste device memory
             self._scratch = self._backend.place_caches(
-                init_caches(self.cfg, rows, self.max_len, self.kv_dtype)
+                init_caches(self.cfg, rows, max(self.buckets), self.kv_dtype)
             )
         self.slot_req[slot] = req  # reserve (lengths[slot] == 0 -> no decode)
         self._chunking = (req, slot, toks, bucket, 0, None)
