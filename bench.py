@@ -276,7 +276,11 @@ def main():
     # The BASELINE.md headline is defined at 13B; bf16-13B OOMs the chip, so
     # the ratio uses a measured-extrapolated bf16 estimate (methodology in
     # bench_13b_estimate's docstring + BASELINE.md). Skippable via env.
+    # The 7B line prints IMMEDIATELY (the 13B pass adds ~15 min — if an
+    # external timeout cuts the run, the headline survives); the final line,
+    # when reached, carries everything. Consumers take the LAST json line.
     if os.environ.get("EETQ_BENCH_13B", "1") != "0" and preset == "llama2-7b":
+        print(json.dumps(result), flush=True)
         del quant
         gc.collect()
         try:
