@@ -92,7 +92,8 @@ def main():
         eng.run()
         assert all(len(eng.result(u)) == new_tokens for u in us)
         eng2 = Engine(params, cfg, max_batch=batch, max_len=max_len,
-                      prompt_buckets=(prompt_len,), decode_window=win)
+                      prompt_buckets=(prompt_len,), decode_window=win,
+                      prefill_rows=min(4, batch))  # same compiles as warmup
         # staggered arrivals: half up front, the rest fed as slots free up
         uids = [eng2.add_request(p, new_tokens) for p in prompts[: batch]]
         pending = list(prompts[batch:])
