@@ -68,8 +68,8 @@ def _sp_forward_local(params, tokens_local, *, cfg: ModelConfig, axis_name):
         q = q.reshape(b, s_local, hq, d)
         k = k.reshape(b, s_local, hkv, d)
         v = v.reshape(b, s_local, hkv, d)
-        q = rope(q, positions, cos_sin)
-        k = rope(k, positions, cos_sin)
+        q = rope(q, positions, cos_sin, interleaved=cfg.rope_interleaved)
+        k = rope(k, positions, cos_sin, interleaved=cfg.rope_interleaved)
         kv_chunks.append((k, v))
         attn = ring_attention(q, k, v, axis_name=axis_name, causal=True)
         o = linear_apply(layer.o_proj, attn.reshape(b, s_local, hq * d))

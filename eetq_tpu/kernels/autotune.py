@@ -137,7 +137,13 @@ def choose_config(m: int, kp: int, np_: int, bits: int = 8) -> MatmulConfig:
                 return measured_autotune(m, kp, np_, bits=bits)
         except Exception:
             pass  # fall through to the heuristic
+    return _heuristic_config(m, kp, np_, bits)
 
+
+def _heuristic_config(m: int, kp: int, np_: int, bits: int = 8) -> MatmulConfig:
+    """The pure v5e-measured heuristic — no cache lookup, no measured-autotune
+    re-entry (so `_candidate_configs`' fallback can call it without the
+    EETQ_AUTOTUNE=1 path recursing back into `measured_autotune`)."""
     if m <= MAX_DECODE_M:
         # Decode GEMV regime: weight-bandwidth-bound. Measured on v5e
         # (scripts/microbench_gemv.py, llama2-7b decode shapes): ~1 MiB int8
@@ -206,7 +212,7 @@ def choose_config(m: int, kp: int, np_: int, bits: int = 8) -> MatmulConfig:
 # ---- measured autotune (persistent per-chip cache) ----
 
 
-def _candidate_configs(m: int, kp: int, np_: int) -> list[MatmulConfig]:
+def _candidate_configs(m: int, kp: int, np_: int, bits: int = 8) -> list[MatmulConfig]:
     """Candidate blocks for a measured sweep — a superset of what the
     heuristic would pick, bounded so the sweep stays a handful of compiles."""
     kt = DEFAULT_LAYOUT.k_tile
@@ -239,7 +245,7 @@ def _candidate_configs(m: int, kp: int, np_: int) -> list[MatmulConfig]:
                     cfg = MatmulConfig(bm, bn, bk)
                     if cfg.vmem_bytes() <= VMEM_BUDGET_BYTES:
                         out.append(cfg)
-    return out or [choose_config(m, kp, np_)]
+    return out or [_heuristic_config(m, kp, np_, bits)]
 
 
 def measured_autotune(
@@ -298,7 +304,7 @@ def measured_autotune(
 
     sync = host_sync_overhead()
     best: tuple[float, MatmulConfig] | None = None
-    for cfg in _candidate_configs(m, kp, np_):
+    for cfg in _candidate_configs(m, kp, np_, bits):
         def f(c, x, cfg=cfg):
             def one(qd, sc):
                 return w8a16_matmul(
@@ -326,7 +332,7 @@ def measured_autotune(
         if best is None or t < best[0]:
             best = (t, cfg)
     if best is None:
-        return choose_config(m, kp, np_, bits)
+        return _heuristic_config(m, kp, np_, bits)
     if save:
         cache = dict(_load_persistent())
         cache[_tune_key(m, kp, np_, bits)] = [

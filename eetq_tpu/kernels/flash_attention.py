@@ -153,6 +153,10 @@ def flash_attention(
     slopes [Hq] f32 enables ALiBi: score += slope_h * (key_pos - query_pos)
     (baichuan-13b). The slopes ride in SMEM and every tile adds the bias
     (the interior fast path is disabled — the bias needs the iotas anyway).
+    Slopes are FROZEN under differentiation: ALiBi slopes are fixed
+    model constants (never trained), so the VJP returns a zero cotangent
+    for them rather than the exact gradient — `jax.grad` w.r.t. `slopes`
+    yields zeros by design, unlike q/k/v which get exact flash-2 grads.
 
     DIFFERENTIABLE: a custom VJP implements the recompute-based flash-2
     backward (no S x S materialization), so LoRA finetuning over frozen
@@ -395,6 +399,8 @@ def _flash_vjp_bwd(statics, res, do):
     q, k, v, slopes, out = res
     causal, window, scale, _, _, _ = statics
     dq, dk, dv = _bwd_chunked(q, k, v, slopes, out, do, causal, window, scale)
+    # slopes are frozen model constants (see flash_attention docstring):
+    # zero cotangent by design, not the exact gradient
     return dq, dk, dv, jnp.zeros_like(slopes)
 
 

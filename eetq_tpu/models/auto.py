@@ -32,7 +32,9 @@ log = get_logger(__name__)
 # model_type -> supported (the reference's EETQ_CAUSAL_LM_MODEL_MAP,
 # auto.py:6-10, plus mistral; chatglm remains unsupported like the
 # reference's WIP fuser)
-SUPPORTED_MODEL_TYPES = ("llama", "mistral", "gemma", "baichuan", "qwen2")
+SUPPORTED_MODEL_TYPES = (
+    "llama", "mistral", "gemma", "baichuan", "qwen2", "chatglm"
+)
 
 
 @dataclasses.dataclass

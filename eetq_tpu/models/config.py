@@ -29,6 +29,9 @@ class ModelConfig:
     rmsnorm_unit_offset: bool = False  # gemma: gamma = 1 + w
     qkv_bias: bool = False
     alibi: bool = False  # baichuan-13b: ALiBi position bias, no RoPE
+    # chatglm2/3: GPT-J-style adjacent-lane rotary pairing over the first
+    # half of head_dim (rope_dim = head_dim // 2)
+    rope_interleaved: bool = False
     model_type: str = "llama"
 
     @property
@@ -44,6 +47,8 @@ class ModelConfig:
         """Build from a HuggingFace config.json dict (llama/mistral/gemma/
         baichuan/tinyllama)."""
         model_type = hf.get("model_type", "llama")
+        if model_type.startswith("chatglm"):
+            return cls._from_chatglm_config(hf)
         num_heads = hf["num_attention_heads"]
         num_kv = hf.get("num_key_value_heads", num_heads)
         head_dim = hf.get("head_dim") or hf["hidden_size"] // num_heads
@@ -81,6 +86,41 @@ class ModelConfig:
                 or (model_type == "baichuan" and num_heads >= 40)
             ),
             model_type=model_type,
+        )
+
+
+    @classmethod
+    def _from_chatglm_config(cls, hf: dict) -> "ModelConfig":
+        """ChatGLM2/3 configs use their own key names (num_layers,
+        padded_vocab_size, ffn_hidden_size, kv_channels,
+        multi_query_group_num, seq_length, layernorm_epsilon) — the family
+        the reference's WIP fuser targets
+        (`python/eetq/models/chatglm.py:41-83`)."""
+        num_heads = hf["num_attention_heads"]
+        head_dim = hf.get("kv_channels") or hf["hidden_size"] // num_heads
+        num_kv = (
+            hf["multi_query_group_num"]
+            if hf.get("multi_query_attention")
+            else num_heads
+        )
+        return cls(
+            vocab_size=hf.get("padded_vocab_size") or hf["vocab_size"],
+            hidden_size=hf["hidden_size"],
+            intermediate_size=hf["ffn_hidden_size"],
+            num_layers=hf["num_layers"],
+            num_heads=num_heads,
+            num_kv_heads=num_kv,
+            head_dim=head_dim,
+            max_position=hf.get("seq_length", 8192),
+            # rotary: adjacent-lane pairing over HALF of head_dim
+            rope_theta=10000.0 * hf.get("rope_ratio", 1.0),
+            rope_dim=head_dim // 2,
+            rope_interleaved=True,
+            rms_eps=hf.get("layernorm_epsilon", 1e-5),
+            activation="silu",  # swiglu via the fused dense_h_to_4h
+            qkv_bias=bool(hf.get("add_qkv_bias", True)),
+            tie_word_embeddings=bool(hf.get("tie_word_embeddings", False)),
+            model_type="chatglm",
         )
 
 
@@ -142,6 +182,13 @@ BAICHUAN_13B = ModelConfig(
     alibi=True, model_type="baichuan",
 )
 
+CHATGLM3_6B = ModelConfig(
+    vocab_size=65024, hidden_size=4096, intermediate_size=13696,
+    num_layers=28, num_heads=32, num_kv_heads=2, head_dim=128,
+    max_position=8192, rope_dim=64, rope_interleaved=True, qkv_bias=True,
+    model_type="chatglm",
+)
+
 QWEN2_7B = ModelConfig(
     vocab_size=152064, hidden_size=3584, intermediate_size=18944, num_layers=28,
     num_heads=28, num_kv_heads=4, head_dim=128, max_position=32768,
@@ -158,5 +205,6 @@ PRESETS = {
     "gemma-7b": GEMMA_7B,
     "baichuan-7b": BAICHUAN_7B,
     "baichuan-13b": BAICHUAN_13B,
+    "chatglm3-6b": CHATGLM3_6B,
     "qwen2-7b": QWEN2_7B,
 }

@@ -32,14 +32,41 @@ from eetq_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
 
-# Projection names per model family. Baichuan ships a pre-fused qkv
-# ("W_pack", rows q|k|v), which transposes directly into our fused layout.
+# Weight-name scheme per model family. Baichuan ships a pre-fused qkv
+# ("W_pack", rows q|k|v), which transposes directly into our fused layout;
+# chatglm2/3 fuses BOTH qkv ("query_key_value", rows q|k|v with MQA-sized
+# k/v) and gate/up ("dense_h_to_4h", rows gate|up — its swiglu chunks in
+# the same order) and roots everything under "transformer.encoder"
+# (the layout the reference's WIP ChatGLMFuser walks,
+# `python/eetq/models/chatglm.py:41-83`). Families without explicit name
+# keys use the llama scheme.
+_LLAMA_NAMES = dict(
+    layer="model.layers.{i}",
+    attn="self_attn",
+    o="o_proj",
+    gateup=("mlp.gate_proj", "mlp.up_proj"),
+    down="mlp.down_proj",
+    embed="model.embed_tokens.weight",
+    final_norm="model.norm.weight",
+    lm_head="lm_head.weight",
+)
 _FAMILY = {
     "llama": dict(qkv=("q_proj", "k_proj", "v_proj")),
     "mistral": dict(qkv=("q_proj", "k_proj", "v_proj")),
     "gemma": dict(qkv=("q_proj", "k_proj", "v_proj")),
     "baichuan": dict(qkv=("W_pack",)),
     "qwen2": dict(qkv=("q_proj", "k_proj", "v_proj")),  # with qkv biases
+    "chatglm": dict(
+        qkv=("query_key_value",),
+        layer="transformer.encoder.layers.{i}",
+        attn="self_attention",
+        o="dense",
+        gateup=("mlp.dense_h_to_4h",),
+        down="mlp.dense_4h_to_h",
+        embed="transformer.embedding.word_embeddings.weight",
+        final_norm="transformer.encoder.final_layernorm.weight",
+        lm_head="transformer.output_layer.weight",
+    ),
 }
 
 
@@ -48,7 +75,7 @@ def _family(model_type: str) -> dict:
         raise ValueError(
             f"unsupported model_type {model_type!r}; supported: {list(_FAMILY)}"
         )
-    return _FAMILY[model_type]
+    return {**_LLAMA_NAMES, **_FAMILY[model_type]}
 
 
 class _TensorSource:
@@ -153,60 +180,57 @@ def _build_params(
     fam = _family(cfg.model_type)
     layers = []
     for i in range(cfg.num_layers):
-        pfx = f"model.layers.{i}"
-        attn = f"{pfx}.self_attn"
-        qkv_bias = None
-        if len(fam["qkv"]) == 3:
-            wq = src(f"{attn}.q_proj.weight")
-            wk = src(f"{attn}.k_proj.weight")
-            wv = src(f"{attn}.v_proj.weight")
-            qkv_t = np.concatenate([wq, wk, wv], axis=0)  # [out, in]
-            if f"{attn}.q_proj.bias" in src:  # qwen2 / attention_bias models
-                qkv_bias = np.concatenate(
-                    [src(f"{attn}.{p}.bias") for p in fam["qkv"]]
+        pfx = fam["layer"].format(i=i)
+        attn = f"{pfx}.{fam['attn']}"
+
+        def cat_wb(names):
+            """Stack (concat rows of) one or more [out, in] projections;
+            returns (weight, bias|None). A single name = pre-fused
+            (baichuan W_pack / chatglm query_key_value & dense_h_to_4h)."""
+            w = np.concatenate([src(f"{n}.weight") for n in names], axis=0) \
+                if len(names) > 1 else src(f"{names[0]}.weight")
+            bias = None
+            if f"{names[0]}.bias" in src:
+                bias = (
+                    np.concatenate([src(f"{n}.bias") for n in names])
+                    if len(names) > 1 else src(f"{names[0]}.bias")
                 )
-        else:  # baichuan W_pack: rows q|k|v already fused
-            qkv_t = src(f"{attn}.W_pack.weight")
-            if f"{attn}.W_pack.bias" in src:
-                qkv_bias = src(f"{attn}.W_pack.bias")
-        gate = src(f"{pfx}.mlp.gate_proj.weight")
-        up = src(f"{pfx}.mlp.up_proj.weight")
-        gateup_t = np.concatenate([gate, up], axis=0)
+            return w, bias
+
+        qkv_t, qkv_bias = cat_wb([f"{attn}.{p}" for p in fam["qkv"]])
+        gateup_t, gu_bias = cat_wb([f"{pfx}.{p}" for p in fam["gateup"]])
 
         def opt_bias(name):  # attention_bias=True also puts one on o_proj;
             return src(name) if name in src else None  # mlp_bias covers mlp
 
-        gu_bias = None
-        if f"{pfx}.mlp.gate_proj.bias" in src:
-            gu_bias = np.concatenate(
-                [src(f"{pfx}.mlp.gate_proj.bias"), src(f"{pfx}.mlp.up_proj.bias")]
-            )
+        o_name = f"{attn}.{fam['o']}"
+        down_name = f"{pfx}.{fam['down']}"
         layers.append(
             LayerParams(
                 input_norm=jnp.asarray(
                     src(f"{pfx}.input_layernorm.weight"), jnp.float32
                 ),
                 qkv=_to_linear(qkv_t, quantize, bits, dtype, bias=qkv_bias),
-                o_proj=_to_linear(src(f"{attn}.o_proj.weight"), quantize, bits,
-                                  dtype, bias=opt_bias(f"{attn}.o_proj.bias")),
+                o_proj=_to_linear(src(f"{o_name}.weight"), quantize, bits,
+                                  dtype, bias=opt_bias(f"{o_name}.bias")),
                 post_norm=jnp.asarray(
                     src(f"{pfx}.post_attention_layernorm.weight"), jnp.float32
                 ),
                 gateup=_to_linear(gateup_t, quantize, bits, dtype, bias=gu_bias),
-                down=_to_linear(src(f"{pfx}.mlp.down_proj.weight"), quantize,
+                down=_to_linear(src(f"{down_name}.weight"), quantize,
                                 bits, dtype,
-                                bias=opt_bias(f"{pfx}.mlp.down_proj.bias")),
+                                bias=opt_bias(f"{down_name}.bias")),
             )
         )
         log.debug("loaded layer %d/%d", i + 1, cfg.num_layers)
-    embed = jnp.asarray(src("model.embed_tokens.weight"), dtype)  # [V, H]
+    embed = jnp.asarray(src(fam["embed"]), dtype)  # [V, H]
     lm_head = None
-    if not cfg.tie_word_embeddings and "lm_head.weight" in src:
+    if not cfg.tie_word_embeddings and fam["lm_head"] in src:
         # lm_head stays dense (reference excludes it from quantization)
         lm_head = DenseLinear(
-            weight=jnp.asarray(src("lm_head.weight").T.copy(), dtype)
+            weight=jnp.asarray(src(fam["lm_head"]).T.copy(), dtype)
         )
-    final_norm = jnp.asarray(src("model.norm.weight"), jnp.float32)
+    final_norm = jnp.asarray(src(fam["final_norm"]), jnp.float32)
     return ModelParams(embed=embed, layers=layers, final_norm=final_norm, lm_head=lm_head)
 
 
@@ -244,17 +268,20 @@ def _unfuse_layer(lp: LayerParams, cfg: ModelConfig) -> dict[str, QuantLinear]:
     if len(fam["qkv"]) == 3:
         nq = cfg.num_heads * cfg.head_dim
         nkv = cfg.num_kv_heads * cfg.head_dim
-        q, k, v = split_quant_columns(lp.qkv, [nq, nkv, nkv])
-        d["self_attn.q_proj"] = q
-        d["self_attn.k_proj"] = k
-        d["self_attn.v_proj"] = v
-    else:
-        d["self_attn.W_pack"] = lp.qkv
-    d["self_attn.o_proj"] = lp.o_proj
-    gate, up = split_quant_columns(lp.gateup, [cfg.intermediate_size] * 2)
-    d["mlp.gate_proj"] = gate
-    d["mlp.up_proj"] = up
-    d["mlp.down_proj"] = lp.down
+        for name, ql in zip(
+            fam["qkv"], split_quant_columns(lp.qkv, [nq, nkv, nkv])
+        ):
+            d[f"{fam['attn']}.{name}"] = ql
+    else:  # pre-fused in the HF layout (W_pack / query_key_value)
+        d[f"{fam['attn']}.{fam['qkv'][0]}"] = lp.qkv
+    d[f"{fam['attn']}.{fam['o']}"] = lp.o_proj
+    if len(fam["gateup"]) == 2:
+        gate, up = split_quant_columns(lp.gateup, [cfg.intermediate_size] * 2)
+        d[fam["gateup"][0]] = gate
+        d[fam["gateup"][1]] = up
+    else:  # chatglm dense_h_to_4h stays fused (rows gate|up)
+        d[fam["gateup"][0]] = lp.gateup
+    d[fam["down"]] = lp.down
     return d
 
 
@@ -289,21 +316,23 @@ def save_quantized(
         if ql.bias is not None:
             tensors[f"{name}.bias"] = np.asarray(ql.bias, np.float16)
 
+    fam = _family(cfg.model_type)
     for i, lp in enumerate(params.layers):
-        pfx = f"model.layers.{i}"
+        pfx = fam["layer"].format(i=i)
         for proj, ql in _unfuse_layer(lp, cfg).items():
             put_quant(f"{pfx}.{proj}", ql)
         tensors[f"{pfx}.input_layernorm.weight"] = np.asarray(lp.input_norm, np.float16)
         tensors[f"{pfx}.post_attention_layernorm.weight"] = np.asarray(
             lp.post_norm, np.float16
         )
-    tensors["model.embed_tokens.weight"] = np.asarray(params.embed, np.float16)
-    tensors["model.norm.weight"] = np.asarray(params.final_norm, np.float16)
+    tensors[fam["embed"]] = np.asarray(params.embed, np.float16)
+    tensors[fam["final_norm"]] = np.asarray(params.final_norm, np.float16)
     if params.lm_head is not None:
+        head_name = fam["lm_head"][: -len(".weight")]
         if isinstance(params.lm_head, QuantLinear):  # quantize_lm_head=True
-            put_quant("lm_head", params.lm_head)
+            put_quant(head_name, params.lm_head)
         else:
-            tensors["lm_head.weight"] = np.ascontiguousarray(
+            tensors[fam["lm_head"]] = np.ascontiguousarray(
                 np.asarray(params.lm_head.weight, np.float16).T
             )
 
@@ -339,20 +368,38 @@ def save_quantized(
                  "tp": tp}
     hf = dict(hf_config or {})
     hf.setdefault("model_type", cfg.model_type)
-    hf.setdefault("vocab_size", cfg.vocab_size)
-    hf.setdefault("hidden_size", cfg.hidden_size)
-    hf.setdefault("intermediate_size", cfg.intermediate_size)
-    hf.setdefault("num_hidden_layers", cfg.num_layers)
-    hf.setdefault("num_attention_heads", cfg.num_heads)
-    hf.setdefault("num_key_value_heads", cfg.num_kv_heads)
-    hf.setdefault("head_dim", cfg.head_dim)
-    hf.setdefault("max_position_embeddings", cfg.max_position)
-    hf.setdefault("rope_theta", cfg.rope_theta)
-    hf.setdefault("rms_norm_eps", cfg.rms_eps)
-    hf.setdefault("hidden_act", cfg.activation)
-    hf.setdefault("tie_word_embeddings", cfg.tie_word_embeddings)
-    if cfg.sliding_window:
-        hf.setdefault("sliding_window", cfg.sliding_window)
+    if cfg.model_type == "chatglm":
+        # chatglm config key names (so the roundtrip through
+        # from_hf_config's chatglm branch reconstructs the same cfg)
+        hf.setdefault("padded_vocab_size", cfg.vocab_size)
+        hf.setdefault("hidden_size", cfg.hidden_size)
+        hf.setdefault("ffn_hidden_size", cfg.intermediate_size)
+        hf.setdefault("num_layers", cfg.num_layers)
+        hf.setdefault("num_attention_heads", cfg.num_heads)
+        hf.setdefault("multi_query_attention",
+                      cfg.num_kv_heads != cfg.num_heads)
+        hf.setdefault("multi_query_group_num", cfg.num_kv_heads)
+        hf.setdefault("kv_channels", cfg.head_dim)
+        hf.setdefault("seq_length", cfg.max_position)
+        hf.setdefault("rope_ratio", cfg.rope_theta / 10000.0)
+        hf.setdefault("layernorm_epsilon", cfg.rms_eps)
+        hf.setdefault("add_qkv_bias", cfg.qkv_bias)
+        hf.setdefault("tie_word_embeddings", cfg.tie_word_embeddings)
+    else:
+        hf.setdefault("vocab_size", cfg.vocab_size)
+        hf.setdefault("hidden_size", cfg.hidden_size)
+        hf.setdefault("intermediate_size", cfg.intermediate_size)
+        hf.setdefault("num_hidden_layers", cfg.num_layers)
+        hf.setdefault("num_attention_heads", cfg.num_heads)
+        hf.setdefault("num_key_value_heads", cfg.num_kv_heads)
+        hf.setdefault("head_dim", cfg.head_dim)
+        hf.setdefault("max_position_embeddings", cfg.max_position)
+        hf.setdefault("rope_theta", cfg.rope_theta)
+        hf.setdefault("rms_norm_eps", cfg.rms_eps)
+        hf.setdefault("hidden_act", cfg.activation)
+        hf.setdefault("tie_word_embeddings", cfg.tie_word_embeddings)
+        if cfg.sliding_window:
+            hf.setdefault("sliding_window", cfg.sliding_window)
     hf["quantization_config"] = quant_cfg
     with open(os.path.join(save_dir, "config.json"), "w") as f:
         json.dump(hf, f, indent=2)
@@ -411,41 +458,42 @@ def load_quantized(path: str, dtype=jnp.bfloat16) -> tuple[ModelConfig, ModelPar
 
     layers = []
     for i in range(cfg.num_layers):
-        pfx = f"model.layers.{i}"
-        attn = f"{pfx}.self_attn"
+        pfx = fam["layer"].format(i=i)
+        attn = f"{pfx}.{fam['attn']}"
         if len(fam["qkv"]) == 3:
-            qkv = fuse_quant(
-                [get_quant(f"{attn}.q_proj"), get_quant(f"{attn}.k_proj"),
-                 get_quant(f"{attn}.v_proj")]
+            qkv = fuse_quant([get_quant(f"{attn}.{p}") for p in fam["qkv"]])
+        else:
+            qkv = get_quant(f"{attn}.{fam['qkv'][0]}")
+        if len(fam["gateup"]) == 2:
+            gateup = fuse_quant(
+                [get_quant(f"{pfx}.{p}") for p in fam["gateup"]]
             )
         else:
-            qkv = get_quant(f"{attn}.W_pack")
-        gateup = fuse_quant(
-            [get_quant(f"{pfx}.mlp.gate_proj"), get_quant(f"{pfx}.mlp.up_proj")]
-        )
+            gateup = get_quant(f"{pfx}.{fam['gateup'][0]}")
         layers.append(
             LayerParams(
                 input_norm=jnp.asarray(src(f"{pfx}.input_layernorm.weight"), jnp.float32),
                 qkv=qkv,
-                o_proj=get_quant(f"{attn}.o_proj"),
+                o_proj=get_quant(f"{attn}.{fam['o']}"),
                 post_norm=jnp.asarray(
                     src(f"{pfx}.post_attention_layernorm.weight"), jnp.float32
                 ),
                 gateup=gateup,
-                down=get_quant(f"{pfx}.mlp.down_proj"),
+                down=get_quant(f"{pfx}.{fam['down']}"),
             )
         )
     lm_head = None
-    if not cfg.tie_word_embeddings and "lm_head.weight" in src:
-        if "lm_head.weight_scales" in src:  # saved with quantize_lm_head
-            lm_head = get_quant("lm_head")
+    head_name = fam["lm_head"][: -len(".weight")]
+    if not cfg.tie_word_embeddings and fam["lm_head"] in src:
+        if f"{head_name}.weight_scales" in src:  # saved with quantize_lm_head
+            lm_head = get_quant(head_name)
         else:
             lm_head = DenseLinear(
-                weight=jnp.asarray(src("lm_head.weight").T.copy(), dtype)
+                weight=jnp.asarray(src(fam["lm_head"]).T.copy(), dtype)
             )
     return cfg, ModelParams(
-        embed=jnp.asarray(src("model.embed_tokens.weight"), dtype),
+        embed=jnp.asarray(src(fam["embed"]), dtype),
         layers=layers,
-        final_norm=jnp.asarray(src("model.norm.weight"), jnp.float32),
+        final_norm=jnp.asarray(src(fam["final_norm"]), jnp.float32),
         lm_head=lm_head,
     )

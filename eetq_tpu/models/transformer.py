@@ -117,8 +117,8 @@ def decoder_layer(
             start = jax.lax.axis_index(tp_axis) * hq
             slopes = jax.lax.dynamic_slice(slopes, (start,), (hq,))
     else:
-        q = rope(q, positions, cos_sin)
-        k = rope(k, positions, cos_sin)
+        q = rope(q, positions, cos_sin, interleaved=cfg.rope_interleaved)
+        k = rope(k, positions, cos_sin, interleaved=cfg.rope_interleaved)
     attn, cache = attention(
         q, k, v, cache, offset, window=cfg.sliding_window, use_flash=use_flash,
         decode_kernel=decode_kernel, slopes=slopes,

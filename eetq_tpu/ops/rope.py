@@ -33,17 +33,22 @@ def make_cos_sin_cache(
     return jnp.concatenate([jnp.cos(freqs), jnp.sin(freqs)], axis=-1).astype(dtype)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("interleaved",))
 def rope(
     x: jax.Array,
     positions: jax.Array,
     cos_sin_cache: jax.Array,
+    interleaved: bool = False,
 ) -> jax.Array:
-    """Apply NeoX rotary embedding.
+    """Apply rotary embedding.
 
     x: [batch, seq, heads, head_dim] (rotates the first rot_dim of head_dim)
     positions: [batch, seq] int32 absolute positions
     cos_sin_cache: [max_pos, rot_dim] from :func:`make_cos_sin_cache`.
+    interleaved: False = NeoX split-half pairing (x_i with x_{half+i}; the
+    reference kernel's convention). True = GPT-J/ChatGLM pairing of
+    adjacent lanes (x_{2i} with x_{2i+1}) — chatglm2/3 applies this over
+    the first HALF of head_dim (rot_dim = head_dim // 2).
     """
     rot_dim = cos_sin_cache.shape[-1]
     half = rot_dim // 2
@@ -51,8 +56,18 @@ def rope(
     cos = cs[..., :half][:, :, None, :].astype(jnp.float32)  # [b, s, 1, half]
     sin = cs[..., half:][:, :, None, :].astype(jnp.float32)
     x_rot = x[..., :rot_dim].astype(jnp.float32)
-    x1 = x_rot[..., :half]
-    x2 = x_rot[..., half:]
-    rotated = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    if interleaved:
+        pairs = x_rot.reshape(*x_rot.shape[:-1], half, 2)
+        x1 = pairs[..., 0]
+        x2 = pairs[..., 1]
+        rotated = jnp.stack(
+            [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+        ).reshape(x_rot.shape)
+    else:
+        x1 = x_rot[..., :half]
+        x2 = x_rot[..., half:]
+        rotated = jnp.concatenate(
+            [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+        )
     out = jnp.concatenate([rotated, x[..., rot_dim:].astype(jnp.float32)], axis=-1)
     return out.astype(x.dtype)

@@ -107,30 +107,63 @@ def _decode_batch(params, cfg: ModelConfig, tokens, lengths, caches,
     return logits[:, -1, :], caches
 
 
+def _sample_rows(logits, key, temps, topks, topk_cap: int):
+    """Per-row mixed greedy/sampled next-token selection, fully on device.
+
+    logits [B, V]; temps [B] f32 (0 = greedy row); topks [B] i32 (0 = no
+    top-k filter); topk_cap: STATIC upper bound on any row's top_k (the
+    per-row k is dynamic — `lax.top_k` needs a static k, so we take the
+    top `topk_cap` once and read each row's own k-th value as its
+    threshold). One PRNG key samples all rows independently (categorical
+    over batched logits draws per-row Gumbel noise)."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits.astype(jnp.float32) / jnp.maximum(temps, 1e-6)[:, None]
+    if topk_cap > 0:
+        vals = jax.lax.top_k(scaled, topk_cap)[0]  # [B, cap], descending
+        idx = jnp.clip(topks - 1, 0, topk_cap - 1)[:, None]
+        kth = jnp.take_along_axis(vals, idx, axis=1)
+        scaled = jnp.where(
+            (topks[:, None] > 0) & (scaled < kth), -jnp.inf, scaled
+        )
+    sampled = jax.random.categorical(key, scaled).astype(jnp.int32)
+    return jnp.where(temps > 0, sampled, greedy)
+
+
+_sample_rows_jit = jax.jit(_sample_rows, static_argnames=("topk_cap",))
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "steps", "decode_kernel"),
+    static_argnames=("cfg", "steps", "decode_kernel", "sample", "topk_cap"),
     donate_argnames=("caches",),
 )
 def _decode_multi(params, cfg: ModelConfig, tokens, lengths, caches,
-                  steps: int, decode_kernel: bool = False):
-    """`steps` lock-step GREEDY decode iterations in ONE dispatch (lax.scan,
+                  key, temps, topks, steps: int, decode_kernel: bool = False,
+                  sample: bool = False, topk_cap: int = 0):
+    """`steps` lock-step decode iterations in ONE dispatch (lax.scan,
     caches as donated carry). Behind the ~26 ms relay, per-token host
     round-trips cap the engine regardless of kernel speed; this amortizes
-    one round-trip over `steps` tokens for greedy slots (VERDICT r1 §4).
+    one round-trip over `steps` tokens. With sample=True the per-slot
+    PRNG/temperature/top-k sampling runs INSIDE the scan (device-side), so
+    sampled slots get the same window as greedy ones (VERDICT r2 §1 — the
+    round-2 engine forced window 1 for any sampled slot).
     Returns (tokens [B, steps], caches)."""
 
     def body(carry, _):
-        tok, lens, caches = carry
+        tok, lens, caches, key = carry
         logits, caches = forward_inner(
             params, cfg, tok, lens[:, None], caches, lens,
             decode_kernel=decode_kernel,
         )
-        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-        return (nxt[:, None], lens + 1, caches), nxt
+        if sample:
+            key, sub = jax.random.split(key)
+            nxt = _sample_rows(logits[:, -1, :], sub, temps, topks, topk_cap)
+        else:
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        return (nxt[:, None], lens + 1, caches, key), nxt
 
-    (_, _, caches), toks = jax.lax.scan(
-        body, (tokens, lengths, caches), None, length=steps
+    (_, _, caches, _), toks = jax.lax.scan(
+        body, (tokens, lengths, caches, key), None, length=steps
     )
     return toks.T, caches
 
@@ -193,26 +226,34 @@ class _ShardedBackend:
         )
         return logits[:, -1, :], caches
 
-    def decode_multi(self, tokens, lengths, caches, steps: int):
-        fn = self._multi.get(steps)
+    def decode_multi(self, tokens, lengths, caches, steps: int, key, temps,
+                     topks, sample: bool = False, topk_cap: int = 0):
+        cache_key = (steps, sample, topk_cap)
+        fn = self._multi.get(cache_key)
         if fn is None:
             fwd = self._fwd_rows
 
             @functools.partial(jax.jit, donate_argnames=("caches",))
-            def fn(params, tokens, lengths, caches):
+            def fn(params, tokens, lengths, caches, key, temps, topks):
                 def body(carry, _):
-                    tok, lens, caches = carry
+                    tok, lens, caches, key = carry
                     logits, caches = fwd(params, tok, lens[:, None], caches, lens)
-                    nxt = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
-                    return (nxt[:, None], lens + 1, caches), nxt
+                    if sample:
+                        key, sub = jax.random.split(key)
+                        nxt = _sample_rows(
+                            logits[:, -1, :], sub, temps, topks, topk_cap
+                        )
+                    else:
+                        nxt = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
+                    return (nxt[:, None], lens + 1, caches, key), nxt
 
-                (_, _, caches), toks = jax.lax.scan(
-                    body, (tokens, lengths, caches), None, length=steps
+                (_, _, caches, _), toks = jax.lax.scan(
+                    body, (tokens, lengths, caches, key), None, length=steps
                 )
                 return toks.T, caches
 
-            self._multi[steps] = fn
-        return fn(self.params, tokens, lengths, caches)
+            self._multi[cache_key] = fn
+        return fn(self.params, tokens, lengths, caches, key, temps, topks)
 
     def slots_for_row(self, row: int, max_batch: int) -> range:
         """Slots scratch row `row` may be inserted into: its own data shard
@@ -304,10 +345,13 @@ class _LocalBackend:
             decode_kernel=jax.default_backend() == "tpu",
         )
 
-    def decode_multi(self, tokens, lengths, caches, steps: int):
+    def decode_multi(self, tokens, lengths, caches, steps: int, key, temps,
+                     topks, sample: bool = False, topk_cap: int = 0):
         return _decode_multi(
-            self.params, self.cfg, tokens, lengths, caches, steps,
+            self.params, self.cfg, tokens, lengths, caches, key, temps,
+            topks, steps,
             decode_kernel=jax.default_backend() == "tpu",
+            sample=sample, topk_cap=topk_cap,
         )
 
     def insert_rows(self, big, small, src, slot, upto_pad: int):
@@ -404,14 +448,18 @@ class Engine:
         prefill_chunk: int | None = None,
         paged_blocks: int | None = None,
         paged_block_size: int = 256,
+        topk_cap: int = 64,
     ):
         # `params` may be a plain ModelParams (with cfg) or a TP/DP-sharded
         # model (eetq_tpu.dist.ShardedModel; cfg comes from it).
         # a8_prefill runs prefills through the W8A8 int8-activation path
         # (2x MXU; small extra quantization error) — local backend only.
-        # decode_window: max greedy decode steps per host round-trip
-        # (defaults to 8 on TPU where the relay costs ~26 ms per dispatch,
-        # 1 elsewhere). Sampled (temperature > 0) slots force window 1.
+        # decode_window: max decode steps per host round-trip (defaults to
+        # 8 on TPU where the relay costs ~26 ms per dispatch, 1 elsewhere).
+        # Sampled slots decode inside the same window (device-side per-slot
+        # PRNG/temperature/top-k in the scan); topk_cap is the STATIC upper
+        # bound any request's top_k may take (lax.top_k needs a static k —
+        # the per-row k is dynamic below the cap).
         if cfg is None:
             if a8_prefill:
                 raise ValueError("a8_prefill is not supported for sharded models yet")
@@ -495,6 +543,8 @@ class Engine:
         # in-flight chunked prefill: (req, slot, toks [1, bucket], n, done)
         self._chunking: tuple | None = None
         self._scratch = None  # reused prefill scratch caches
+        self._scratch_len = 0
+        self.topk_cap = int(topk_cap)
         self._key = jax.random.PRNGKey(seed)
         self._uid = itertools.count()
         self.queue: deque[Request] = deque()
@@ -521,6 +571,14 @@ class Engine:
             raise ValueError(
                 f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
                 f"exceeds max_len {self.max_len}"
+            )
+        if top_k >= self.cfg.vocab_size:
+            top_k = 0  # filtering the whole vocab is a no-op
+        if temperature > 0 and top_k > self.topk_cap:
+            raise ValueError(
+                f"top_k {top_k} exceeds the engine's topk_cap "
+                f"{self.topk_cap} (a static bound for the compiled decode "
+                f"window) — construct Engine(topk_cap=...) larger"
             )
         r = Request(
             uid=next(self._uid),
@@ -557,6 +615,24 @@ class Engine:
             if n <= b:
                 return b
         return self.max_len
+
+    def _ensure_scratch(self, need: int) -> None:
+        """(Re)allocate the shared prefill scratch to cover `need` positions.
+
+        Scratch normally stays at max(buckets) — sizing it to max_len up
+        front would waste device memory — but `_bucket_for` returns max_len
+        for prompts longer than the largest bucket (add_request accepts
+        them), so the scratch must grow to max_len the first time such a
+        prompt arrives. Only two sizes are ever allocated (max(buckets),
+        max_len), so prefill recompiles are bounded."""
+        if self._scratch is not None and self._scratch_len >= need:
+            return
+        size = max(self.buckets) if need <= max(self.buckets) else self.max_len
+        self._scratch = self._backend.place_caches(
+            init_caches(self.cfg, self._backend.prefill_rows, size,
+                        self.kv_dtype)
+        )
+        self._scratch_len = size
 
     # ---- paged-KV block allocator (host side) ----
 
@@ -616,12 +692,7 @@ class Engine:
             n = len(req.prompt)
             toks[row, :n] = req.prompt
             lens[row] = n
-        if self._scratch is None:
-            # scratch rows only ever hold PREFILL content (< the largest
-            # bucket); sizing them to max_len would waste device memory
-            self._scratch = self._backend.place_caches(
-                init_caches(self.cfg, rows, max(self.buckets), self.kv_dtype)
-            )
+        self._ensure_scratch(bucket)
         logits, self._scratch = self._backend.prefill(
             jnp.asarray(toks), jnp.asarray(lens), bucket, self._scratch
         )
@@ -659,12 +730,7 @@ class Engine:
         bucket = self._bucket_for(len(req.prompt))
         toks = np.zeros((rows, bucket), np.int32)
         toks[0, : len(req.prompt)] = req.prompt
-        if self._scratch is None:
-            # scratch rows only ever hold PREFILL content (< the largest
-            # bucket); sizing them to max_len would waste device memory
-            self._scratch = self._backend.place_caches(
-                init_caches(self.cfg, rows, max(self.buckets), self.kv_dtype)
-            )
+        self._ensure_scratch(bucket)
         self.slot_req[slot] = req  # reserve (lengths[slot] == 0 -> no decode)
         self._chunking = (req, slot, toks, bucket, 0, None)
         self._chunk_step()
@@ -771,21 +837,30 @@ class Engine:
         ]
         if not active:
             return
-        # Multi-step greedy window: amortize the host round-trip over
+        # Multi-step decode window: amortize the host round-trip over
         # several decode iterations. ALWAYS the full fixed window (one
         # compiled program — per-remaining-budget window sizes would
         # recompile the scanned step at every distinct size); tokens past a
         # slot's budget/eos are discarded and its cache rows beyond are
         # garbage-tolerant (overwritten before ever being read on slot
-        # reuse). Single-step only when a queued request could actually be
-        # admitted next round (free slot exists — bounded admission
-        # latency) or when an active slot samples (per-slot RNG).
+        # reuse). Sampled slots ride the same window: their per-slot
+        # PRNG/temperature/top-k runs device-side inside the scan.
+        # Single-step only when a queued request could actually be admitted
+        # next round (free slot exists — bounded admission latency).
         window = 1
         if self.decode_window > 1 and (
             not self.queue or self._free_slot() is None
         ):
-            if all(self.slot_req[i].temperature == 0.0 for i in active):
-                window = self.decode_window
+            window = self.decode_window
+        # per-slot sampling params ([B] vectors; inactive slots greedy)
+        temps_np = np.zeros((self.max_batch,), np.float32)
+        topks_np = np.zeros((self.max_batch,), np.int32)
+        for i in active:
+            r = self.slot_req[i]
+            if r.temperature > 0:
+                temps_np[i] = r.temperature
+                topks_np[i] = r.top_k
+        sample = bool(temps_np.any())
         if self.paged:
             # every active slot needs blocks covering this round's writes
             # (window overshoot included), and retired slots' table rows
@@ -793,11 +868,14 @@ class Engine:
             for i in active:
                 self._alloc_blocks(i, int(self.lengths[i]) + window)
             self._sync_tables()
+        lengths = jnp.asarray(np.maximum(self.lengths, 1), jnp.int32)
+        tokens = jnp.asarray(self.next_token[:, None], jnp.int32)
         if window > 1:
-            lengths = jnp.asarray(np.maximum(self.lengths, 1), jnp.int32)
-            tokens = jnp.asarray(self.next_token[:, None], jnp.int32)
+            self._key, sub = jax.random.split(self._key)
             toks, self.caches = self._backend.decode_multi(
-                tokens, lengths, self.caches, window
+                tokens, lengths, self.caches, window, sub,
+                jnp.asarray(temps_np), jnp.asarray(topks_np),
+                sample=sample, topk_cap=self.topk_cap if sample else 0,
             )
             toks_np = np.asarray(toks)  # [B, window]
             for i in active:
@@ -811,36 +889,20 @@ class Engine:
             return
         # inactive slots decode garbage at a safe position; their output is
         # never committed and their cache rows are overwritten on reuse.
-        lengths = jnp.asarray(np.maximum(self.lengths, 1), jnp.int32)
-        tokens = jnp.asarray(self.next_token[:, None], jnp.int32)
         logits, self.caches = self._backend.decode(tokens, lengths, self.caches)
         self._key, sub = jax.random.split(self._key)
-        # temperature/top_k are per-request; sample greedily in one batch
-        # for the common case, individually for sampled requests.
-        greedy = _sample_batch(logits, sub, self.cfg, 0.0, 0)
-        greedy_np = np.asarray(greedy)
-        sampled_np = greedy_np
-        if any(
-            self.slot_req[i] is not None and self.slot_req[i].temperature > 0
-            for i in active
-        ):
-            keys = jax.random.split(sub, self.max_batch)
-            sampled_rows = {}
-            for i in active:
-                r = self.slot_req[i]
-                if r.temperature > 0:
-                    sampled_rows[i] = int(
-                        _sample_batch(
-                            logits[i][None], keys[i], self.cfg,
-                            r.temperature, r.top_k,
-                        )[0]
-                    )
-            sampled_np = greedy_np.copy()
-            for i, t in sampled_rows.items():
-                sampled_np[i] = t
+        if sample:
+            toks_np = np.asarray(
+                _sample_rows_jit(
+                    logits, sub, jnp.asarray(temps_np), jnp.asarray(topks_np),
+                    topk_cap=self.topk_cap,
+                )
+            )
+        else:
+            toks_np = np.asarray(_sample_batch(logits, sub, self.cfg, 0.0, 0))
         for i in active:
             self.lengths[i] += 1
-            tok = int(sampled_np[i])
+            tok = int(toks_np[i])
             self.next_token[i] = tok
             self._commit(i, tok)
 

@@ -305,3 +305,72 @@ def test_chunked_prefill_engine_interleaves(params):
     assert all(progressed), progressed
     eng.run()
     assert eng.result(u_long) == _ref_greedy(params, long_prompt, 4)
+
+
+def test_prompt_longer_than_largest_bucket(params):
+    """max_len > max(prompt_buckets): add_request accepts prompts longer
+    than the largest bucket (_bucket_for returns max_len), so the shared
+    prefill scratch must grow past max(buckets) instead of crashing at
+    trace time (round-2 advisor regression). Covers both the plain-prefill
+    and chunked-prefill paths."""
+    long_prompt = list(np.random.default_rng(7).integers(1, CFG.vocab_size,
+                                                         size=40))
+    ref = _ref_greedy(params, long_prompt, 5)
+    # plain prefill path: bucket = max_len = 96 > max(buckets) = 16
+    eng = Engine(params, CFG, max_batch=2, max_len=96, prompt_buckets=(8, 16))
+    short_uid = eng.add_request([3, 4, 5], 4)  # small-bucket prefill first
+    eng.step()
+    uid = eng.add_request(long_prompt, 5)
+    eng.run()
+    assert eng.result(uid) == ref
+    assert eng.result(short_uid) == _ref_greedy(params, [3, 4, 5], 4)
+    # chunked prefill path (bucket=max_len=96, chunk=8 divides it)
+    eng = Engine(params, CFG, max_batch=2, max_len=96, prompt_buckets=(8, 16),
+                 prefill_chunk=8)
+    uid = eng.add_request(long_prompt, 5)
+    eng.run()
+    assert eng.result(uid) == ref
+
+
+def test_sampled_window_topk1_matches_greedy(params):
+    """Sampled slots now ride the multi-step window (device-side per-slot
+    PRNG/temperature/top-k in the scan). top_k=1 keeps only the argmax
+    token, so a sampled request with top_k=1 must reproduce the greedy
+    reference exactly — a sharp end-to-end check of the in-scan top-k
+    threshold — while a greedy slot in the SAME window stays exact."""
+    prompts = [[5, 6, 7], [11] * 10]
+    ref = [_ref_greedy(params, p, 8) for p in prompts]
+    eng = Engine(params, CFG, max_batch=2, max_len=64, prompt_buckets=(16,),
+                 decode_window=4)
+    u_sampled = eng.add_request(prompts[0], 8, temperature=0.9, top_k=1)
+    u_greedy = eng.add_request(prompts[1], 8)
+    eng.run()
+    assert eng.result(u_sampled) == ref[0]
+    assert eng.result(u_greedy) == ref[1]
+
+
+def test_sampled_window_deterministic_and_valid(params):
+    """Same-seed engines with a windowed sampled request agree run-to-run,
+    and mixed greedy slots in the window still match the reference."""
+    greedy_ref = _ref_greedy(params, [1, 2], 10)
+    outs = []
+    for _ in range(2):
+        eng = Engine(params, CFG, max_batch=2, max_len=64,
+                     prompt_buckets=(16,), decode_window=4, seed=11)
+        us = eng.add_request([5, 6, 7], 10, temperature=0.8, top_k=20)
+        ug = eng.add_request([1, 2], 10)
+        eng.run()
+        assert eng.result(ug) == greedy_ref
+        assert all(0 <= t < CFG.vocab_size for t in eng.result(us))
+        outs.append(eng.result(us))
+    assert outs[0] == outs[1]
+
+
+def test_topk_cap_validation(params):
+    eng = Engine(params, CFG, max_batch=1, max_len=64, topk_cap=8)
+    with pytest.raises(ValueError):
+        eng.add_request([1, 2], 4, temperature=0.7, top_k=9)
+    # top_k >= vocab is a no-op filter, accepted and treated as 0
+    uid = eng.add_request([1, 2], 4, temperature=0.7, top_k=CFG.vocab_size)
+    eng.run()
+    assert len(eng.result(uid)) == 4
