@@ -86,6 +86,56 @@ def _prefill_bucketed(params, cfg: ModelConfig, tokens, true_lens, bucket: int,
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "bucket", "upto", "a8", "topk_cap"),
+    donate_argnames=("scratch", "caches"),
+)
+def _prefill_commit(params, cfg: ModelConfig, tokens, true_lens, scratch,
+                    caches, slots, key, temps, topks, bucket: int, upto: int,
+                    a8: bool = False, topk_cap: int = 0):
+    """Prefill + slot insert + first-token sampling in ONE dispatch.
+
+    The round-2 admission path took ~4 host round-trips per prefill group
+    (prefill dispatch, logits fetch, per-slot insert dispatch, sample
+    dispatch + int() fetch) — ~100 ms of relay tax per admission. Fusing
+    them leaves one dispatch plus one [R]-token fetch.
+
+    tokens [R, bucket]; true_lens [R]; slots [R] (slot index per scratch
+    row, -1 = dummy row -> no insert); temps/topks [R] per-request
+    sampling params (0 = greedy). Returns (first_tokens [R], scratch,
+    caches)."""
+    r, s = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (r, s))
+    logits, scratch = forward_inner(
+        params, cfg, tokens, positions, scratch, jnp.int32(0), a8=a8
+    )
+    last = jax.vmap(
+        lambda row, t: jax.lax.dynamic_index_in_dim(row, t - 1, axis=0,
+                                                    keepdims=False)
+    )(logits, true_lens)
+    first = _sample_rows(last, key, temps, topks, topk_cap)
+    # insert each real row's first `upto` positions into its slot (row
+    # count R is static and small, so the python loop unrolls). Dummy
+    # rows (slot == -1) write the destination's CURRENT content back —
+    # the select stays on the small update block, never on the whole
+    # cache buffer (a full-buffer jnp.where would read+write every byte
+    # of the donated caches per row).
+    for row in range(r):
+        def ins(b, sc, row=row):
+            upd = jax.lax.slice_in_dim(sc, row, row + 1, axis=0)
+            upd = jax.lax.slice_in_dim(upd, 0, upto, axis=2).astype(b.dtype)
+            start = (jnp.clip(slots[row], 0, b.shape[0] - 1),) + (0,) * (
+                b.ndim - 1
+            )
+            cur = jax.lax.dynamic_slice(b, start, upd.shape)
+            upd = jnp.where(slots[row] >= 0, upd, cur)
+            return jax.lax.dynamic_update_slice(b, upd, start)
+
+        caches = jax.tree.map(ins, caches, scratch)
+    return first, scratch, caches
+
+
+@functools.partial(
     jax.jit, static_argnames=("cfg", "decode_kernel"), donate_argnames=("caches",)
 )
 def _decode_batch(params, cfg: ModelConfig, tokens, lengths, caches,
@@ -147,7 +197,12 @@ def _decode_multi(params, cfg: ModelConfig, tokens, lengths, caches,
     PRNG/temperature/top-k sampling runs INSIDE the scan (device-side), so
     sampled slots get the same window as greedy ones (VERDICT r2 §1 — the
     round-2 engine forced window 1 for any sampled slot).
-    Returns (tokens [B, steps], caches)."""
+
+    Returns (tokens [B, steps], next_tok [B, 1], next_lens [B], next_key,
+    caches) — the last four ARE the next call's carry, so the scheduler
+    can CHAIN several windows back-to-back entirely on device (async
+    dispatches pipeline behind the relay; one host fetch at the end of the
+    chain) whenever slot retirement is host-predictable."""
 
     def body(carry, _):
         tok, lens, caches, key = carry
@@ -162,10 +217,10 @@ def _decode_multi(params, cfg: ModelConfig, tokens, lengths, caches,
             nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
         return (nxt[:, None], lens + 1, caches, key), nxt
 
-    (_, _, caches, _), toks = jax.lax.scan(
+    (tok, lens, caches, key), toks = jax.lax.scan(
         body, (tokens, lengths, caches, key), None, length=steps
     )
-    return toks.T, caches
+    return toks.T, tok, lens, key, caches
 
 
 class _ShardedBackend:
@@ -247,10 +302,10 @@ class _ShardedBackend:
                         nxt = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
                     return (nxt[:, None], lens + 1, caches, key), nxt
 
-                (_, _, caches, _), toks = jax.lax.scan(
+                (tok, lens, caches, key), toks = jax.lax.scan(
                     body, (tokens, lengths, caches, key), None, length=steps
                 )
-                return toks.T, caches
+                return toks.T, tok, lens, key, caches
 
             self._multi[cache_key] = fn
         return fn(self.params, tokens, lengths, caches, key, temps, topks)
@@ -337,6 +392,14 @@ class _LocalBackend:
         return _prefill_bucketed(
             self.params, self.cfg, tokens, true_lens, bucket, caches,
             a8=self.a8_prefill,
+        )
+
+    def prefill_commit(self, tokens, true_lens, scratch, caches, slots, key,
+                       temps, topks, bucket: int, upto: int, topk_cap: int):
+        return _prefill_commit(
+            self.params, self.cfg, tokens, true_lens, scratch, caches,
+            slots, key, temps, topks, bucket, upto,
+            a8=self.a8_prefill, topk_cap=topk_cap,
         )
 
     def decode(self, tokens, lengths, caches):
@@ -449,6 +512,7 @@ class Engine:
         paged_blocks: int | None = None,
         paged_block_size: int = 256,
         topk_cap: int = 64,
+        max_chain: int = 8,
     ):
         # `params` may be a plain ModelParams (with cfg) or a TP/DP-sharded
         # model (eetq_tpu.dist.ShardedModel; cfg comes from it).
@@ -545,6 +609,10 @@ class Engine:
         self._scratch = None  # reused prefill scratch caches
         self._scratch_len = 0
         self.topk_cap = int(topk_cap)
+        # max_chain: upper bound on back-to-back decode windows per
+        # scheduler step (window * max_chain tokens between host fetches
+        # when the batch is full — see step()'s chaining rules)
+        self.max_chain = max(1, int(max_chain))
         self._key = jax.random.PRNGKey(seed)
         self._uid = itertools.count()
         self.queue: deque[Request] = deque()
@@ -682,42 +750,68 @@ class Engine:
         """Prefill up to prefill_rows requests in one dispatch (one scratch
         row per data shard under DP) and insert each into its slot.
         assignments: (scratch_row, slot, request); under DP the scheduler
-        guarantees scratch_row == data shard of slot (shard-local insert)."""
+        guarantees scratch_row == data shard of slot (shard-local insert).
+
+        Local dense backend: the whole admission (prefill + all slot
+        inserts + first-token sampling) is ONE fused dispatch + one [R]
+        fetch (_prefill_commit). Paged/sharded: prefill dispatch + batched
+        device-side sampling (one fetch), then the backend-specific
+        hand-off."""
         rows = self._backend.prefill_rows
         assert 0 < len(assignments) <= rows
         bucket = max(self._bucket_for(len(r.prompt)) for _, _, r in assignments)
         toks = np.zeros((rows, bucket), np.int32)
         lens = np.ones((rows,), np.int32)  # dummy rows: 1 token, discarded
-        for row, _, req in assignments:
+        slots_np = np.full((rows,), -1, np.int32)
+        temps_np = np.zeros((rows,), np.float32)
+        topks_np = np.zeros((rows,), np.int32)
+        for row, slot, req in assignments:
             n = len(req.prompt)
             toks[row, :n] = req.prompt
             lens[row] = n
+            slots_np[row] = slot
+            if req.temperature > 0:
+                temps_np[row] = req.temperature
+                topks_np[row] = req.top_k
         self._ensure_scratch(bucket)
-        logits, self._scratch = self._backend.prefill(
-            jnp.asarray(toks), jnp.asarray(lens), bucket, self._scratch
-        )
         upto = min(bucket, self.max_len)
-        # one host fetch for the whole group (row indexing on a data-sharded
-        # array is refused under explicit sharding; we need the values on
-        # host to sample anyway)
-        logits_np = np.asarray(logits)
+        self._key, sub = jax.random.split(self._key)
+        fused = not self.paged and hasattr(self._backend, "prefill_commit")
+        if fused:
+            first, self._scratch, self.caches = self._backend.prefill_commit(
+                jnp.asarray(toks), jnp.asarray(lens), self._scratch,
+                self.caches, jnp.asarray(slots_np), sub,
+                jnp.asarray(temps_np), jnp.asarray(topks_np), bucket, upto,
+                self.topk_cap if temps_np.any() else 0,
+            )
+            first_np = np.asarray(first)  # the ONLY host fetch
+        else:
+            logits, self._scratch = self._backend.prefill(
+                jnp.asarray(toks), jnp.asarray(lens), bucket, self._scratch
+            )
+            if isinstance(self._backend, _ShardedBackend):
+                # explicit-sharding meshes refuse mixing the data-sharded
+                # logits with replicated sampling params — fetch first
+                logits = jnp.asarray(np.asarray(logits))
+            first_np = np.asarray(
+                _sample_rows_jit(
+                    logits, sub, jnp.asarray(temps_np), jnp.asarray(topks_np),
+                    topk_cap=self.topk_cap if temps_np.any() else 0,
+                )
+            )
         for row, slot, req in assignments:
             if self.paged:
                 self._paged_activate(row, slot, len(req.prompt))
-            else:
+            elif not fused:
                 # one dispatch for ALL layers (generic tree.map insert)
                 self.caches = self._backend.insert_rows(
                     self.caches, self._scratch, jnp.int32(row),
                     jnp.int32(slot), upto,
                 )
-            self._key, sub = jax.random.split(self._key)
-            tok = int(
-                _sample_batch(jnp.asarray(logits_np[row])[None], sub,
-                              self.cfg, req.temperature, req.top_k)[0]
-            )
             n = len(req.prompt)
             self.slot_req[slot] = req
             self.lengths[slot] = n
+            tok = int(first_np[row])
             self.next_token[slot] = tok
             self._commit(slot, tok)
 
@@ -861,25 +955,57 @@ class Engine:
                 temps_np[i] = r.temperature
                 topks_np[i] = r.top_k
         sample = bool(temps_np.any())
+        # CHAIN several windows back-to-back when slot retirement is
+        # host-predictable: batch full (an arrival can't be admitted
+        # anyway), queue empty, and no active request can hit EOS — then
+        # the only retirements are budget exhaustion, known in advance.
+        # The carries (next token/lengths/PRNG key) stay ON DEVICE between
+        # windows; the async dispatches pipeline behind the ~26 ms relay
+        # and ONE fetch at the end collects every window's tokens — decode
+        # between admissions runs at static-batch speed.
+        chain = 1
+        if (
+            window > 1
+            and self.max_chain > 1
+            and not self.queue
+            and self._free_slot() is None
+            and all(self.slot_req[i].eos_token_id is None for i in active)
+        ):
+            min_rem = min(
+                self.slot_req[i].max_new_tokens
+                - len(self.slot_req[i].out_tokens)
+                for i in active
+            )
+            chain = max(1, min(-(-min_rem // window), self.max_chain))
         if self.paged:
             # every active slot needs blocks covering this round's writes
             # (window overshoot included), and retired slots' table rows
             # must point at the trash block before the dispatch
             for i in active:
-                self._alloc_blocks(i, int(self.lengths[i]) + window)
+                self._alloc_blocks(i, int(self.lengths[i]) + window * chain)
             self._sync_tables()
         lengths = jnp.asarray(np.maximum(self.lengths, 1), jnp.int32)
         tokens = jnp.asarray(self.next_token[:, None], jnp.int32)
         if window > 1:
             self._key, sub = jax.random.split(self._key)
-            toks, self.caches = self._backend.decode_multi(
-                tokens, lengths, self.caches, window, sub,
-                jnp.asarray(temps_np), jnp.asarray(topks_np),
-                sample=sample, topk_cap=self.topk_cap if sample else 0,
-            )
-            toks_np = np.asarray(toks)  # [B, window]
+            temps = jnp.asarray(temps_np)
+            topks = jnp.asarray(topks_np)
+            parts = []
+            tok_d, len_d, key_d = tokens, lengths, sub
+            for _ in range(chain):
+                toks, tok_d, len_d, key_d, self.caches = (
+                    self._backend.decode_multi(
+                        tok_d, len_d, self.caches, window, key_d, temps,
+                        topks, sample=sample,
+                        topk_cap=self.topk_cap if sample else 0,
+                    )
+                )
+                parts.append(toks)
+            toks_np = np.asarray(
+                parts[0] if chain == 1 else jnp.concatenate(parts, axis=1)
+            )  # [B, window * chain] — the chain's single host fetch
             for i in active:
-                for j in range(window):
+                for j in range(window * chain):
                     if self.slot_req[i] is None:
                         break  # finished mid-window; rest is garbage
                     t = int(toks_np[i, j])

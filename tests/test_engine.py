@@ -237,6 +237,62 @@ def test_multi_step_decode_window(params):
     assert engE.result(uid) == ref[:stop]
 
 
+def test_decode_window_chaining(params):
+    """Window CHAINING (r3): when the batch is full, the queue is empty,
+    and no active request can hit EOS, step() runs several decode windows
+    back-to-back with the carry on device — outputs must be identical to
+    the unchained engine, and the chained engine must finish in strictly
+    fewer step() calls (proof the chain actually engaged)."""
+    prompts = [[5, 6, 7], [11] * 10]
+    budgets = [33, 40]  # large budgets so several windows chain
+
+    def run(max_chain):
+        eng = Engine(params, CFG, max_batch=2, max_len=64,
+                     prompt_buckets=(16,), decode_window=4,
+                     max_chain=max_chain)
+        uids = [eng.add_request(p, n) for p, n in zip(prompts, budgets)]
+        steps = 0
+        while eng.has_work:
+            eng.step()
+            steps += 1
+        return [eng.result(u) for u in uids], steps
+
+    ref, steps1 = run(1)
+    out, stepsC = run(8)
+    assert out == ref
+    assert stepsC < steps1, (stepsC, steps1)
+
+
+def test_chaining_disabled_by_eos_or_queue(params):
+    """Chaining preconditions: an EOS-capable request or a non-empty queue
+    must fall back to single windows (retirement is not host-predictable),
+    and outputs stay exact."""
+    ref = _ref_greedy(params, [3, 17, 42, 9], 12)
+    eos = ref[5]
+    stop = ref.index(eos) + 1
+    eng = Engine(params, CFG, max_batch=1, max_len=64, prompt_buckets=(8,),
+                 decode_window=4, max_chain=8)
+    uid = eng.add_request([3, 17, 42, 9], 12, eos_token_id=eos)
+    # queue a second request behind the single slot: also blocks chaining
+    uid2 = eng.add_request([1, 2, 3], 5)
+    eng.run()
+    assert eng.result(uid) == ref[:stop]
+    assert eng.result(uid2) == _ref_greedy(params, [1, 2, 3], 5)
+
+
+def test_chaining_sampled_terminates(params):
+    """Sampled slots ride chained windows: correct lengths, valid tokens."""
+    eng = Engine(params, CFG, max_batch=2, max_len=64, prompt_buckets=(16,),
+                 decode_window=4, max_chain=4, seed=3)
+    uids = [eng.add_request([7, 8, 9], 21, temperature=0.8, top_k=20),
+            eng.add_request([4] * 6, 25, temperature=0.5, top_k=8)]
+    eng.run(max_steps=60)
+    for u, n in zip(uids, (21, 25)):
+        out = eng.result(u)
+        assert len(out) == n
+        assert all(0 <= t < CFG.vocab_size for t in out)
+
+
 def test_a8_prefill_engine(params):
     """Engine with W8A8 prefill completes and stays close to the W8A16
     engine (same decode path; prefill uses int8 activations)."""
