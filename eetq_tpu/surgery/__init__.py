@@ -4,6 +4,7 @@ from eetq_tpu.surgery.fusion import (
     fuse_qkv,
     fuse_gateup,
 )
+from eetq_tpu.surgery.lora import attach_lora, init_lora, merge_lora
 from eetq_tpu.surgery.quantize import eet_quantize, eet_accelerator
 from eetq_tpu.surgery.tp_reshard import (
     quantize_params_tp,
@@ -16,6 +17,9 @@ __all__ = [
     "split_quant_columns",
     "fuse_qkv",
     "fuse_gateup",
+    "attach_lora",
+    "init_lora",
+    "merge_lora",
     "eet_quantize",
     "eet_accelerator",
     "quantize_params_tp",
