@@ -161,6 +161,151 @@ def profile_w8a16_matmul(
     return roofline(t, bytes_moved, 2 * m * k * n)
 
 
+# ---- multi-chip scaling estimate (BASELINE "scaling efficiency" line) ----
+
+# ICI link bandwidth per direction (public "How to Scale Your Model"
+# numbers); a 1-D ring collective streams over one link each way.
+ICI_BW_PER_LINK = {
+    "TPU v4": 45e9,
+    "TPU v5 lite": 45e9,
+    "TPU v5e": 45e9,
+    "TPU v5p": 90e9,
+    "TPU v6 lite": 90e9,
+    "TPU v6e": 90e9,
+}
+ICI_HOP_LATENCY_S = 1e-6  # per-hop launch/propagation floor
+
+
+def count_collectives(fn: Callable, *args) -> dict[str, int]:
+    """Count collective ops and their per-call payload bytes in `fn`'s
+    jaxpr (recursing through pjit/scan/shard_map/closed_call bodies).
+
+    Returns {primitive_name: total_bytes, primitive_name + "_count": n}.
+    This makes the analytic scaling model below INSPECTABLE: a test can
+    assert the model's "2 psums/layer + 1 lm_head all-gather" against the
+    real sharded program."""
+    jaxpr = jax.make_jaxpr(fn)(*args)
+    out: dict[str, int] = {}
+
+    def visit(jx):
+        for eqn in jx.eqns:
+            name = eqn.primitive.name
+            if name in ("psum", "psum2", "all_gather", "ppermute",
+                        "reduce_scatter", "all_to_all", "psum_invariant"):
+                nbytes = sum(
+                    v.aval.size * v.aval.dtype.itemsize
+                    for v in eqn.invars
+                    if hasattr(v.aval, "size")
+                )
+                out[name] = out.get(name, 0) + nbytes
+                out[f"{name}_count"] = out.get(f"{name}_count", 0) + 1
+            for pval in eqn.params.values():
+                for sub in jax.tree.leaves(
+                    pval, is_leaf=lambda x: hasattr(x, "eqns")
+                    or hasattr(x, "jaxpr")
+                ):
+                    if hasattr(sub, "jaxpr"):
+                        visit(sub.jaxpr)
+                    elif hasattr(sub, "eqns"):
+                        visit(sub)
+
+    visit(jaxpr.jaxpr)
+    return out
+
+
+@dataclasses.dataclass
+class TPScalingEstimate:
+    tp: int
+    t_single_ms: float
+    t_tp_ms: float
+    t_hbm_ms: float
+    t_ici_ms: float
+    ici_bytes_per_step: int
+    speedup: float
+    efficiency: float  # speedup / tp: fraction of perfect linear scaling
+
+    def __str__(self) -> str:
+        return (
+            f"tp={self.tp}: step {self.t_tp_ms:.2f} ms "
+            f"(hbm {self.t_hbm_ms:.2f} + ici {self.t_ici_ms:.3f}; "
+            f"{self.ici_bytes_per_step/1e6:.2f} MB over ICI) | "
+            f"speedup {self.speedup:.2f}x, efficiency {self.efficiency:.0%}"
+        )
+
+
+def tp_decode_scaling(
+    cfg,
+    tp: int,
+    batch: int = 1,
+    seq: int = 1024,
+    bits: int = 8,
+    kv_bytes_per_elem: int = 2,
+    measured_t1_ms: float | None = None,
+) -> TPScalingEstimate:
+    """Paper-napkin Megatron-TP decode-step scaling model from the roofline
+    data (VERDICT r2 item 9 — the BASELINE >=85% multi-host line is not
+    measurable on one chip, so publish the arithmetic instead).
+
+    Per decode step at batch B, context S:
+    - HBM per device: all four projections are column/row-split, so weight
+      streaming divides by tp; KV is head-sharded, so it divides too.
+    - ICI per device (1-D ring model, conservative — v5e has a 2-D torus):
+      the row-parallel o_proj and down each psum a [B, 1, H] bf16
+      activation (ring all-reduce traffic = 2*(tp-1)/tp * bytes), and the
+      column-parallel lm_head all-gathers [B, 1, V] f32 logits
+      ((tp-1)/tp * bytes). Latency: 2*(tp-1) hops per all-reduce.
+    - t_tp = t_hbm + t_ici (serialized; XLA often overlaps some of it).
+
+    measured_t1_ms anchors the single-chip step time to a REAL measurement
+    (e.g. 10.2 ms for llama2-7b W8A16); otherwise the HBM roofline is used.
+    """
+    peak_gbs, _ = chip_peaks()
+    kind = jax.devices()[0].device_kind
+    ici_bw = next(
+        (v for k, v in ICI_BW_PER_LINK.items() if kind.startswith(k)), 45e9
+    )
+    h, inter, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    wpb = 0.5 if bits == 4 else 1.0  # weight bytes per element
+    layer_bytes = wpb * (
+        h * cfg.qkv_out
+        + cfg.num_heads * cfg.head_dim * h
+        + h * 2 * inter
+        + inter * h
+    )
+    head_bytes = wpb * h * v  # quantized lm_head (bench default)
+    kv_bytes = (
+        2 * batch * seq * cfg.num_kv_heads * cfg.head_dim * kv_bytes_per_elem
+    )
+    total_bytes = cfg.num_layers * layer_bytes + head_bytes + kv_bytes
+
+    t1 = (
+        measured_t1_ms / 1e3
+        if measured_t1_ms is not None
+        else total_bytes / (peak_gbs * 1e9)
+    )
+    # non-HBM overhead (dispatch, fusions) carried over from the measured
+    # single-chip step — it does not shrink with tp
+    overhead = max(0.0, t1 - total_bytes / (peak_gbs * 1e9))
+
+    t_hbm = (total_bytes / tp) / (peak_gbs * 1e9)
+    ar_bytes = 2 * (tp - 1) / tp * (batch * h * 2)  # one bf16 psum
+    ag_bytes = (tp - 1) / tp * (batch * v * 4)  # f32 logits all-gather
+    ici_bytes = int(2 * cfg.num_layers * ar_bytes + ag_bytes)
+    n_collectives = 2 * cfg.num_layers + 1
+    t_ici = ici_bytes / ici_bw + n_collectives * 2 * (tp - 1) * ICI_HOP_LATENCY_S
+    t_tp = t_hbm + t_ici + overhead
+    return TPScalingEstimate(
+        tp=tp,
+        t_single_ms=t1 * 1e3,
+        t_tp_ms=t_tp * 1e3,
+        t_hbm_ms=t_hbm * 1e3,
+        t_ici_ms=t_ici * 1e3,
+        ici_bytes_per_step=ici_bytes,
+        speedup=t1 / t_tp,
+        efficiency=t1 / t_tp / tp,
+    )
+
+
 def trace(path: str):
     """Context manager: capture a jax.profiler device trace to `path`
     (viewable in TensorBoard / xprof). May be unsupported on relayed

@@ -39,3 +39,57 @@ def test_device_time_measures_something():
 
 def test_host_sync_overhead_positive():
     assert host_sync_overhead(reps=2) > 0
+
+
+def test_count_collectives_matches_model():
+    """The analytic scaling model assumes 2 psums/layer + 1 lm_head
+    all-gather per forward — assert that census against the REAL sharded
+    program's jaxpr (VERDICT r2 item 9: make the arithmetic inspectable)."""
+    import jax
+
+    from eetq_tpu.dist import make_mesh, shard_model
+    from eetq_tpu.dist.sharding import make_forward_fn
+    from eetq_tpu.models import ModelConfig, init_caches, random_dense_params
+    from eetq_tpu.utils.profiling import count_collectives
+
+    cfg = ModelConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=8, num_kv_heads=4, head_dim=16, max_position=32,
+    )
+    dense = random_dense_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    mesh = make_mesh(tp=4, dp=1)
+    model = shard_model(dense, cfg, mesh, quantize=False)
+    fwd = make_forward_fn(model, use_flash=False)
+    toks = jnp.zeros((1, 4), jnp.int32)
+    pos = jnp.arange(4, dtype=jnp.int32)[None]
+    caches = init_caches(cfg, 1, 8, dtype=jnp.float32)
+
+    counts = count_collectives(
+        lambda p, t, q, c: fwd(p, t, q, c, jnp.int32(0)),
+        model.params, toks, pos, caches,
+    )
+    psums = counts.get("psum_count", 0) + counts.get("psum2_count", 0)
+    assert psums == 2 * cfg.num_layers, counts
+    assert counts.get("all_gather_count", 0) == 1, counts
+
+
+def test_tp_decode_scaling_model():
+    """Scaling-estimate sanity: monotone ICI cost, efficiency in (0, 1],
+    HBM time divides by tp, and the big-model case amortizes better."""
+    from eetq_tpu.models.config import LLAMA2_7B, LLAMA2_70B
+    from eetq_tpu.utils.profiling import tp_decode_scaling
+
+    e2 = tp_decode_scaling(LLAMA2_7B, 2, measured_t1_ms=10.2)
+    e4 = tp_decode_scaling(LLAMA2_7B, 4, measured_t1_ms=10.2)
+    e8 = tp_decode_scaling(LLAMA2_7B, 8, measured_t1_ms=10.2)
+    for e in (e2, e4, e8):
+        assert 0 < e.efficiency <= 1
+        assert e.speedup > 1
+        assert e.t_hbm_ms < e.t_single_ms
+    assert e2.ici_bytes_per_step < e4.ici_bytes_per_step < e8.ici_bytes_per_step
+    assert e2.efficiency > e4.efficiency > e8.efficiency
+    # 70B at tp=8 streams 8.5 GB/chip -> per-step HBM dominates and the
+    # fixed overhead amortizes: efficiency must beat 7B's at the same tp
+    e70 = tp_decode_scaling(LLAMA2_70B, 8)
+    assert e70.efficiency > e8.efficiency
+    assert e70.t_hbm_ms > 5.0  # ~68 GB / 8 chips / 819 GB/s
