@@ -62,16 +62,20 @@ def quantize_params(
     params: ModelParams,
     bits: int = 8,
     quantize_lm_head: bool = False,
+    group_size: int | None = None,
 ) -> ModelParams:
     """One-line quantize-and-swap over a params pytree: every DenseLinear in
-    the decoder layers becomes a QuantLinear (per-channel symmetric W8A16).
+    the decoder layers becomes a QuantLinear (per-channel symmetric W8A16;
+    group_size=g for group-wise scales, the usual int4 setting).
     By default the lm_head stays dense, matching the reference's exclusion
     (`utils/base.py:273-274`: get_named_linears excludes lm_head);
     quantize_lm_head=True opts it in (halves lm_head HBM traffic per decode
     step — ~3% of a llama2-7b step — at a small logits-precision cost)."""
 
     def q(lin: DenseLinear):
-        return quantize_linear(lin.weight, bias=lin.bias, bits=bits)
+        return quantize_linear(
+            lin.weight, bias=lin.bias, bits=bits, group_size=group_size
+        )
 
     layers = [
         dataclasses_replace(

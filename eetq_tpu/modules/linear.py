@@ -128,9 +128,10 @@ def linear_apply(
     """Forward through a (quantized or dense) linear with optional fused
     activation, fused residual add, and LoRA side path.
 
-    a8=True uses the W8A8 path (dynamic per-token int8 activations, s8xs8
-    MXU at 2x bf16 throughput) when the layer is an int8 per-channel
-    QuantLinear — the compute-bound prefill accelerator; ignored otherwise.
+    a8=True uses the W8A8/W4A8 path (dynamic per-token int8 activations,
+    s8xs8 MXU at 2x bf16 throughput) when the layer is an int8 per-channel
+    or int4 (per-channel or group-wise) QuantLinear — the compute-bound
+    prefill accelerator; ignored otherwise.
 
     prenorm=(gamma, eps) applies rmsnorm(x, gamma, eps) before the matmul —
     FUSED into the kernel prologue when the decode regime allows (whole-K
@@ -153,8 +154,10 @@ def linear_apply(
         if (
             a8
             and residual is None
-            and layer.qweight.bits == 8
-            and layer.scales.ndim == 1
+            and (
+                (layer.qweight.bits == 8 and layer.scales.ndim == 1)
+                or layer.qweight.bits == 4
+            )
         ):
             from eetq_tpu.ops import w8a8_matmul
 

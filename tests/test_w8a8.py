@@ -63,11 +63,13 @@ def test_bias_activation_epilogue(rng):
     )
 
 
-def test_rejects_int4_and_groupwise(rng):
+def test_rejects_int8_groupwise_accepts_int4(rng):
     w = rng.standard_normal((256, 128)).astype(np.float32)
+    # int4 now routes to the W4A8 kernel (tests/test_w4a8.py)
     q4, s4 = symmetric_quantize(jnp.asarray(w), bits=4)
-    with pytest.raises(ValueError):
-        w8a8_matmul(jnp.ones((2, 256)), pack_weights(q4, bits=4), s4)
+    out = w8a8_matmul(jnp.ones((2, 256)), pack_weights(q4, bits=4), s4)
+    assert out.shape == (2, 128)
+    # int8 group-wise stays on the W8A16 path
     qg, sg = symmetric_quantize(jnp.asarray(w), group_size=64)
     with pytest.raises(ValueError):
         w8a8_matmul(jnp.ones((2, 256)), pack_weights(qg), sg)
