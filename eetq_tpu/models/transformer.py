@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any
 
 import jax
@@ -63,6 +64,12 @@ def _maybe_psum(x, tp_axis):
     return jax.lax.psum(x, tp_axis) if tp_axis is not None else x
 
 
+def _fused_mlp_enabled() -> bool:
+    # read at TRACE time (jit caches the traced program; flip the env in a
+    # fresh process — how the bench A/B runs it)
+    return os.environ.get("EETQ_FUSED_MLP", "0") == "1"
+
+
 def decoder_layer(
     p: LayerParams,
     cfg: ModelConfig,
@@ -76,8 +83,12 @@ def decoder_layer(
     tp_axis: str | None = None,
     a8: bool = False,
     decode_kernel: bool | None = None,
+    fused_mlp: bool | None = None,
 ) -> tuple[jax.Array, KVCache | None]:
     """One decoder layer.
+
+    fused_mlp: run the MLP block as ONE kernel dispatch in the decode
+    regime (ops/mlp.py) — None reads the EETQ_FUSED_MLP env default.
 
     a8 routes the (compute-bound) projections through the W8A8
     int8-activation path — enable for prefill only.
@@ -133,6 +144,24 @@ def decoder_layer(
     # --- mlp block (fused gate/up, gated activation) ---
     residual = x
     gamma2 = p.post_norm + 1.0 if cfg.rmsnorm_unit_offset else p.post_norm
+    if fused_mlp is None:
+        fused_mlp = _fused_mlp_enabled()
+    if not a8 and fused_mlp:
+        from eetq_tpu.ops.mlp import can_fuse_mlp
+        from eetq_tpu.ops.mlp import fused_mlp as fused_mlp_op
+
+        if can_fuse_mlp(p.gateup, p.down, b * s):
+            # whole MLP block (norm + gate/up GEMV + swiglu + down GEMV
+            # [+ residual]) in ONE kernel dispatch — decode launch/glue
+            # saver; under TP the residual stays outside (psum first)
+            out = fused_mlp_op(
+                p.gateup, p.down, x, gamma2, cfg.rms_eps,
+                activation=cfg.activation,
+                residual=residual if tp_axis is None else None,
+            )
+            if tp_axis is None:
+                return out, cache
+            return residual + _maybe_psum(out, tp_axis), cache
     gateup = linear_apply(
         p.gateup, x, a8=a8, prenorm=(gamma2, cfg.rms_eps)
     )  # [b, s, 2*i_local]
@@ -158,6 +187,7 @@ def forward_inner(
     tp_axis: str | None = None,
     a8: bool = False,
     decode_kernel: bool | None = None,
+    fused_mlp: bool | None = None,
 ) -> tuple[jax.Array, list[KVCache] | None]:
     """Un-jitted forward body; called directly inside shard_map by
     eetq_tpu.dist (tp > 1) and via the jitted `forward` single-device."""
@@ -172,6 +202,7 @@ def forward_inner(
         x, cache_i = decoder_layer(
             layer, cfg, x, positions, cos_sin, cache_i, offset, use_flash,
             tp=tp, tp_axis=tp_axis, a8=a8, decode_kernel=decode_kernel,
+            fused_mlp=fused_mlp,
         )
         if new_caches is not None:
             new_caches.append(cache_i)
@@ -189,7 +220,9 @@ def forward_inner(
     return logits.astype(jnp.float32), new_caches
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_flash", "a8"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "use_flash", "a8", "fused_mlp")
+)
 def forward(
     params: ModelParams,
     cfg: ModelConfig,
@@ -199,11 +232,12 @@ def forward(
     offset,
     use_flash: bool = True,
     a8: bool = False,
+    fused_mlp: bool | None = None,
 ) -> tuple[jax.Array, list[KVCache] | None]:
     """Single-device forward. Returns (logits [B, S, V] f32, caches)."""
     return forward_inner(
         params, cfg, tokens, positions, caches, offset, use_flash=use_flash,
-        a8=a8,
+        a8=a8, fused_mlp=fused_mlp,
     )
 
 

@@ -107,7 +107,8 @@ def decode_step(params, cfg, token, pos, caches):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "num_steps", "temperature", "top_k", "eos_token_id"),
+    static_argnames=("cfg", "num_steps", "temperature", "top_k",
+                     "eos_token_id", "fused_mlp"),
     donate_argnames=("caches",),
 )
 def decode_loop(
@@ -121,6 +122,7 @@ def decode_loop(
     top_k: int = 0,
     key: jax.Array | None = None,
     eos_token_id: int | None = None,
+    fused_mlp: bool | None = None,
 ):
     """The whole decode loop as ONE compiled program (lax.scan over steps,
     KV caches as donated carry). This is the TPU-native decode driver: a
@@ -139,7 +141,7 @@ def decode_loop(
         pos = (start_pos + i).astype(jnp.int32)
         logits, caches = forward_inner(
             params, cfg, token[:, None],
-            jnp.broadcast_to(pos, (b, 1)), caches, pos,
+            jnp.broadcast_to(pos, (b, 1)), caches, pos, fused_mlp=fused_mlp,
         )
         nxt = _sample(logits[:, -1, :], sub, cfg, temperature, top_k)
         if eos_token_id is not None:
