@@ -14,9 +14,17 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = flags + " --xla_force_host_platform_device_count=8"
+if "xla_cpu_collective_timeout_seconds" not in flags:
+    # XLA CPU kills the process (rendezvous.cc termination timeout, 40 s
+    # default) when the 8 virtual devices' threads don't all reach a
+    # psum in time — which big sharded tests on ONE core can trip.
+    flags = (
+        flags
+        + " --xla_cpu_collective_timeout_seconds=1200"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    )
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 
