@@ -666,6 +666,40 @@ class Engine:
             raise ValueError(f"request {uid} not finished")
         return r.out_tokens
 
+    def warmup(self, temperature: float = 0.0) -> None:
+        """Pre-compile every program the serving loop can hit, BEFORE real
+        traffic: per-bucket grouped prefill (+fused admission), the
+        windowed decode (which chaining reuses), and the single-step
+        decode used next to admissions. The windowed PAGED decode in
+        particular has a long first compile through a remote-compile
+        tunnel — serving without warmup pays it on the first request
+        (the TGI-style warmup the reference relies on its host for).
+
+        Runs a shaped mini-workload through the normal scheduler, then
+        clears its requests; slot/cache state is reusable garbage
+        (overwritten on slot reuse, like any retired request's rows).
+        temperature > 0 additionally compiles the sampled variants."""
+        assert not self.has_work, "warmup() requires an idle engine"
+        kw = dict(temperature=temperature,
+                  top_k=min(8, self.topk_cap) if temperature > 0 else 0)
+        new = self.decode_window + 2
+        uids = []
+        for b in self.buckets:
+            # two requests per bucket: prefill pads to the full row group
+            # (one compiles it), and with the second queued behind a busy
+            # slot the single-step-near-admission path compiles too; the
+            # decode programs are shaped by max_batch regardless of how
+            # many slots are live
+            n = min(b, self.max_len - new)
+            uids.append(self.add_request([1] * n, new, **kw))
+            self.step()  # prefill this bucket (full row group) + admit
+            # queue a second while the first decodes: with a free slot the
+            # scheduler drops to the single-step program, compiling it
+            uids.append(self.add_request([1] * n, new, **kw))
+            self.run()
+        for u in uids:
+            del self.requests[u]
+
     @property
     def has_work(self) -> bool:
         return bool(self.queue) or any(s is not None for s in self.slot_req)

@@ -237,6 +237,34 @@ def test_multi_step_decode_window(params):
     assert engE.result(uid) == ref[:stop]
 
 
+def test_warmup_then_serve(params):
+    """warmup() pre-compiles the serving programs and leaves no visible
+    state: post-warmup results match a cold engine exactly (greedy and
+    sampled paths, dense and paged)."""
+    for paged in (False, True):
+        kw = dict(max_batch=2, max_len=64, prompt_buckets=(8, 16),
+                  decode_window=4)
+        if paged:
+            kw.update(paged_blocks=4, paged_block_size=128)
+        cold = Engine(params, CFG, **kw)
+        u0 = cold.add_request([3, 17, 42], 7)
+        cold.run()
+
+        warm = Engine(params, CFG, **kw)
+        warm.warmup()
+        assert not warm.has_work and not warm.requests
+        u1 = warm.add_request([3, 17, 42], 7)
+        warm.run()
+        assert warm.result(u1) == cold.result(u0), paged
+    # sampled warmup compiles the sampled variants without error
+    eng = Engine(params, CFG, max_batch=2, max_len=64, prompt_buckets=(8,),
+                 decode_window=4)
+    eng.warmup(temperature=0.7)
+    u = eng.add_request([5, 6], 5, temperature=0.7, top_k=8)
+    eng.run()
+    assert len(eng.result(u)) == 5
+
+
 def test_decode_window_chaining(params):
     """Window CHAINING (r3): when the batch is full, the queue is empty,
     and no active request can hit EOS, step() runs several decode windows
