@@ -126,6 +126,14 @@ class ModelConfig:
 
 # ---- presets (shapes from the public HF configs) ----
 
+# Tiny llama-shaped config for smoke-testing the bench/serving scripts on
+# CPU (interpret-mode Pallas) before spending real-TPU time on them.
+TOY = ModelConfig(
+    vocab_size=256, hidden_size=128, intermediate_size=256, num_layers=2,
+    num_heads=4, num_kv_heads=2, head_dim=32, max_position=2048,
+    model_type="llama",
+)
+
 TINYLLAMA_1_1B = ModelConfig(
     vocab_size=32000, hidden_size=2048, intermediate_size=5632, num_layers=22,
     num_heads=32, num_kv_heads=4, head_dim=64, max_position=2048,
@@ -196,6 +204,7 @@ QWEN2_7B = ModelConfig(
 )
 
 PRESETS = {
+    "toy": TOY,
     "tinyllama-1.1b": TINYLLAMA_1_1B,
     "llama2-7b": LLAMA2_7B,
     "llama2-13b": LLAMA2_13B,
