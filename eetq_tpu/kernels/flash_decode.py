@@ -270,13 +270,19 @@ def flash_decode(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    bl = min(block_l, lmax)
-    while lmax % bl:
-        bl //= 2
-        if bl < 8:
-            return attention_decode_ref(
-                q, cache, length, window, scale, slopes=slopes
-            )
+    # largest divisor of lmax that fits block_l (sublane-aligned): a
+    # 1088-slot cache gets bl=544, not the 64 a halve-from-512 search
+    # finds — small L-blocks multiply grid steps and per-head VPU work
+    # (the r2 tight-cache loss)
+    bl = 0
+    for cand in range(min(block_l, lmax), 7, -1):
+        if lmax % cand == 0 and cand % 8 == 0:
+            bl = cand
+            break
+    if bl == 0:
+        return attention_decode_ref(
+            q, cache, length, window, scale, slopes=slopes
+        )
     nl = lmax // bl
 
     if block_h is None:

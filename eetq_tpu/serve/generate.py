@@ -108,7 +108,7 @@ def decode_step(params, cfg, token, pos, caches):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_steps", "temperature", "top_k",
-                     "eos_token_id", "fused_mlp"),
+                     "eos_token_id", "fused_mlp", "decode_kernel"),
     donate_argnames=("caches",),
 )
 def decode_loop(
@@ -123,6 +123,7 @@ def decode_loop(
     key: jax.Array | None = None,
     eos_token_id: int | None = None,
     fused_mlp: bool | None = None,
+    decode_kernel: bool | None = None,
 ):
     """The whole decode loop as ONE compiled program (lax.scan over steps,
     KV caches as donated carry). This is the TPU-native decode driver: a
@@ -142,6 +143,7 @@ def decode_loop(
         logits, caches = forward_inner(
             params, cfg, token[:, None],
             jnp.broadcast_to(pos, (b, 1)), caches, pos, fused_mlp=fused_mlp,
+            decode_kernel=decode_kernel,
         )
         nxt = _sample(logits[:, -1, :], sub, cfg, temperature, top_k)
         if eos_token_id is not None:

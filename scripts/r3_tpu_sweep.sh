@@ -23,6 +23,9 @@ EETQ_BENCH_SKIP_BF16=1 run bench_7b 2000 python bench.py
 run ab_fused_mlp_8 2400 python scripts/ab_fused_mlp.py
 EETQ_BENCH_BITS=4 run ab_fused_mlp_4 2400 python scripts/ab_fused_mlp.py
 
+# 2b. tight-cache decode levers (flash-decode bl fix + int8 KV), interleaved
+run ab_decode_levers 2400 python scripts/ab_decode_levers.py
+
 # 3. engine: r2 workload (chaining + fused admission vs 136.5 r2 / 323 static)
 run engine_dense 2400 python scripts/bench_engine.py
 # 4. engine: paged A/B on the same workload
