@@ -270,19 +270,21 @@ def flash_decode(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    # largest divisor of lmax that fits block_l (sublane-aligned): a
-    # 1088-slot cache gets bl=544, not the 64 a halve-from-512 search
-    # finds — small L-blocks multiply grid steps and per-head VPU work
-    # (the r2 tight-cache loss)
-    bl = 0
-    for cand in range(min(block_l, lmax), 7, -1):
-        if lmax % cand == 0 and cand % 8 == 0:
-            bl = cand
-            break
-    if bl == 0:
+    # L-block choice (same spirit as the w8a16 bk rule): the sublane-
+    # aligned divisor of lmax CLOSEST to block_l, searching up to
+    # 4*block_l — slightly-oversized blocks beat the tiny ones awkward
+    # cache lengths otherwise degrade to (a 1088-slot cache gets bl=544,
+    # where the old halve-from-512 search found 64: 17 grid steps of
+    # per-head VPU work, the r2 tight-cache loss). A round 2048-slot
+    # cache still picks exactly 512. block_h shrinks with bl, so VMEM
+    # stays bounded either way.
+    divisors = [c for c in range(8, min(4 * block_l, lmax) + 1, 8)
+                if lmax % c == 0]
+    if not divisors:
         return attention_decode_ref(
             q, cache, length, window, scale, slopes=slopes
         )
+    bl = min(divisors, key=lambda c: (abs(c - block_l), -c))
     nl = lmax // bl
 
     if block_h is None:

@@ -30,8 +30,8 @@ from eetq_tpu.utils.logging import get_logger
 log = get_logger(__name__)
 
 # model_type -> supported (the reference's EETQ_CAUSAL_LM_MODEL_MAP,
-# auto.py:6-10, plus mistral; chatglm remains unsupported like the
-# reference's WIP fuser)
+# auto.py:6-10, plus mistral and chatglm — the reference's chatglm fuser
+# is WIP/unregistered; here the family is fully implemented, r3)
 SUPPORTED_MODEL_TYPES = (
     "llama", "mistral", "gemma", "baichuan", "qwen2", "chatglm"
 )

@@ -16,8 +16,15 @@ from eetq_tpu.kernels.mlp_fused import (
 from eetq_tpu.modules.linear import QuantLinear
 
 
-def _bi_for(bits: int) -> int:
-    return 128 if bits == 4 else 256
+def _pick_bi(rows: int, bits: int) -> int | None:
+    """Largest lane-aligned divisor of the grid dimension (packed down
+    rows: I for int8, I/2 for int4), capped so VMEM blocks stay ~1-2 MB.
+    chatglm3's I=13696 (= 128*107) gets bi=128; llama/mistral get 256."""
+    cap = 128 if bits == 4 else 256
+    for cand in range(cap, 127, -128):
+        if rows % cand == 0:
+            return cand
+    return None
 
 
 def can_fuse_mlp(gateup, down, m: int) -> bool:
@@ -25,8 +32,9 @@ def can_fuse_mlp(gateup, down, m: int) -> bool:
     int4 on both projections (same bits), no bias, and tile-aligned
     intermediate dim — the gate|up halves of the packed [K, 2I] buffer
     must sit at exact column I, which holds when I is a multiple of the
-    256-column tile (true for every llama/mistral/gemma/qwen preset).
-    int4 additionally needs the split-half row blocks to divide I/2."""
+    256-column tile (true for every llama/mistral/gemma/qwen/chatglm
+    preset). int4 additionally needs the split-half row blocks to divide
+    I/2."""
     if m > 8:
         return False
     for lin in (gateup, down):
@@ -40,16 +48,15 @@ def can_fuse_mlp(gateup, down, m: int) -> bool:
     if gateup.qweight.bits != bits:
         return False
     i = down.qweight.k
-    bi = _bi_for(bits)
     if not (
         gateup.qweight.n == 2 * i
         and gateup.qweight.data.shape[1] == 2 * i  # no N padding inside
     ):
         return False
-    if bits == 4:
-        # packed down rows = I/2; grid blocks must divide it
-        return down.qweight.data.shape[0] == i // 2 and (i // 2) % bi == 0
-    return down.qweight.data.shape[0] == i and i % bi == 0
+    rows = i // 2 if bits == 4 else i
+    if down.qweight.data.shape[0] != rows:
+        return False
+    return _pick_bi(rows, bits) is not None
 
 
 def fused_mlp(
@@ -72,7 +79,13 @@ def fused_mlp(
     n = down.qweight.n
     bits = down.qweight.bits
     if bi is None:
-        bi = _bi_for(bits)
+        rows = down.qweight.data.shape[0]
+        bi = _pick_bi(rows, bits)
+        if bi is None:
+            raise ValueError(
+                f"no lane-aligned block divides the {rows} packed down "
+                "rows — gate with can_fuse_mlp()"
+            )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if not use_kernel:

@@ -685,17 +685,23 @@ class Engine:
         new = self.decode_window + 2
         uids = []
         for b in self.buckets:
-            # two requests per bucket: prefill pads to the full row group
-            # (one compiles it), and with the second queued behind a busy
-            # slot the single-step-near-admission path compiles too; the
-            # decode programs are shaped by max_batch regardless of how
-            # many slots are live
+            # one request per bucket compiles its grouped prefill (rows are
+            # padded to the full group); the decode programs are shaped by
+            # max_batch regardless of how many slots are live
             n = min(b, self.max_len - new)
             uids.append(self.add_request([1] * n, new, **kw))
-            self.step()  # prefill this bucket (full row group) + admit
-            # queue a second while the first decodes: with a free slot the
-            # scheduler drops to the single-step program, compiling it
-            uids.append(self.add_request([1] * n, new, **kw))
+            self.run()
+        rows = self._backend.prefill_rows
+        if self.max_batch > rows:
+            # the single-step-near-admission program only runs when a step
+            # ends with the queue still non-empty AND a free slot — i.e.
+            # one admission round (capped at prefill_rows) couldn't drain
+            # the queue. Reproduce that state: more queued requests than
+            # one round can admit. (With max_batch <= prefill_rows the
+            # state — and the program — is unreachable in real traffic.)
+            n = min(self.buckets[0], self.max_len - new)
+            for _ in range(rows + 1):
+                uids.append(self.add_request([1] * n, new, **kw))
             self.run()
         for u in uids:
             del self.requests[u]
@@ -1002,6 +1008,8 @@ class Engine:
             window > 1
             and self.max_chain > 1
             and not self.queue
+            and self._chunking is None  # a chunked prefill advances one
+            # chunk per step(); chaining would multiply its TTFT by chain
             and self._free_slot() is None
             and all(self.slot_req[i].eos_token_id is None for i in active)
         ):
@@ -1051,15 +1059,14 @@ class Engine:
         # never committed and their cache rows are overwritten on reuse.
         logits, self.caches = self._backend.decode(tokens, lengths, self.caches)
         self._key, sub = jax.random.split(self._key)
-        if sample:
-            toks_np = np.asarray(
-                _sample_rows_jit(
-                    logits, sub, jnp.asarray(temps_np), jnp.asarray(topks_np),
-                    topk_cap=self.topk_cap,
-                )
+        # one sampler for both cases (zero temps == greedy) so a sampling
+        # fix can never make the single-step and windowed paths disagree
+        toks_np = np.asarray(
+            _sample_rows_jit(
+                logits, sub, jnp.asarray(temps_np), jnp.asarray(topks_np),
+                topk_cap=self.topk_cap if sample else 0,
             )
-        else:
-            toks_np = np.asarray(_sample_batch(logits, sub, self.cfg, 0.0, 0))
+        )
         for i in active:
             self.lengths[i] += 1
             tok = int(toks_np[i])

@@ -114,13 +114,10 @@ def run_trace(params, cfg, batch, max_len, buckets, window, new_tokens,
     arrivals = np.cumsum(rng.exponential(1.0 / rate, n_requests))
     skw = dict(temperature=temp, top_k=40 if temp > 0 else 0)
 
-    eng = make_engine(params, cfg, batch, max_len, buckets, window, paged,
-                      temp)
-    # warm every bucket's prefill + both decode paths
-    for n in sorted(set(int(_bucket(buckets, int(L), max_len))
-                        for L in lens)):
-        u = eng.add_request([1] * min(n, max_prompt), 4, **skw)
-    eng.run()
+    # warm every bucket's prefill + all decode paths (compile cache is
+    # process-global, so the fresh timed engine below reuses it)
+    make_engine(params, cfg, batch, max_len, buckets, window, paged,
+                temp).warmup(temperature=temp)
 
     eng = make_engine(params, cfg, batch, max_len, buckets, window, paged,
                       temp)
@@ -155,13 +152,6 @@ def run_trace(params, cfg, batch, max_len, buckets, window, new_tokens,
     p99 = per_tok_ms[min(len(per_tok_ms) - 1,
                          int(len(per_tok_ms) * 0.99))]
     return total / dt, p50, p99
-
-
-def _bucket(buckets, n, max_len):
-    for b in buckets:
-        if n <= b:
-            return b
-    return max_len
 
 
 def main():
