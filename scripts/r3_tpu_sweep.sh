@@ -17,7 +17,8 @@ run() { # name timeout cmd...
 }
 
 # 1. 7B W8A16 headline (sanity + the >=100 tok/s line), skip bf16 rebuild
-EETQ_BENCH_SKIP_BF16=1 run bench_7b 2000 python bench.py
+# and the 13B estimate pass (the sweep covers 13B separately)
+EETQ_BENCH_SKIP_BF16=1 EETQ_BENCH_13B=0 run bench_7b 2000 python bench.py
 
 # 2. fused-MLP interleaved A/B (the headline lever) — int8 then int4
 run ab_fused_mlp_8 2400 python scripts/ab_fused_mlp.py
