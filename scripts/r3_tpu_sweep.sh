@@ -33,9 +33,11 @@ run engine_dense 2400 python scripts/bench_engine.py
 EETQ_ENGINE_PAGED=1 run engine_paged 3000 python scripts/bench_engine.py
 # 5. engine: sampled workload (device-side sampled window)
 EETQ_ENGINE_TEMP=0.8 run engine_sampled 2400 python scripts/bench_engine.py
-# 6. mistral served trace (BASELINE config 4)
+# 6. mistral served trace (BASELINE config 4): mixed prompts up to 512,
+# Poisson arrivals, p50/p99 per-token latency
 EETQ_BENCH_PRESET=mistral-7b EETQ_ENGINE_TRACE=1 EETQ_ENGINE_REQUESTS=24 \
-  run engine_trace_mistral 3000 python scripts/bench_engine.py
+  EETQ_ENGINE_PROMPT=512 EETQ_ENGINE_NEW=64 \
+  run engine_trace_mistral 3600 python scripts/bench_engine.py
 
 # 7. 13B batch sweep to the memory limit (BASELINE config 3)
 EETQ_SWEEP_PRESET=llama2-13b EETQ_SWEEP_BATCHES=1,2,4,8,16,32 \
