@@ -118,6 +118,12 @@ def bench_decode(params, cfg, batch, prompt_len, new_tokens, sync_s) -> dict:
     host-fetch forced, relay overhead subtracted)."""
     max_len = prompt_len + new_tokens
     prompt = jnp.ones((batch, prompt_len), jnp.int32)
+    # fused-MLP decode kernel: measured +0.8% on 7B W8A16 (interleaved A/B,
+    # r3: 100.21 vs 99.45 tok/s, greedy tokens identical; neutral on int4),
+    # so it is the bench default for quantized runs. EETQ_BENCH_FUSED_MLP=0
+    # reverts. Dense (bf16) params have no quantized MLP weights to fuse.
+    quantized = not isinstance(params.layers[0].gateup, DenseLinear)
+    fused = quantized and os.environ.get("EETQ_BENCH_FUSED_MLP", "1") != "0"
 
     def run():
         caches = init_caches(cfg, batch, max_len)
@@ -132,7 +138,7 @@ def bench_decode(params, cfg, batch, prompt_len, new_tokens, sync_s) -> dict:
     compile_prefill = time.perf_counter() - t0
     t0 = time.perf_counter()
     toks, _ = decode_loop(params, cfg, token, jnp.int32(prompt_len), caches,
-                          new_tokens)
+                          new_tokens, fused_mlp=fused)
     _fetch(toks)
     compile_decode = time.perf_counter() - t0
     log(f"  compile+first: prefill {compile_prefill:.1f}s decode {compile_decode:.1f}s")
@@ -149,15 +155,19 @@ def bench_decode(params, cfg, batch, prompt_len, new_tokens, sync_s) -> dict:
     gc.collect()
 
     # timed scanned decode (steps = new_tokens - 1 after the prefill token);
-    # best of 3 runs — the relay adds +-3% run-to-run noise
+    # best of N runs — the relay's run-to-run noise is one-sided (only ever
+    # adds time) and can exceed 10% in bad stretches (r3: a best-of-3 read
+    # 11.27 ms/step where back-to-back best-of-5 processes read 10.05), so
+    # take the min over more reps
     steps = new_tokens - 1
+    reps = int(os.environ.get("EETQ_BENCH_REPS", 6))
     decode_s = float("inf")
-    for _ in range(3):
+    for _ in range(reps):
         token, caches = run()
         _fetch(token)
         t0 = time.perf_counter()
         toks, _ = decode_loop(params, cfg, token, jnp.int32(prompt_len),
-                              caches, new_tokens)
+                              caches, new_tokens, fused_mlp=fused)
         _fetch(toks)
         decode_s = min(decode_s, max(time.perf_counter() - t0 - sync_s, 1e-9))
     toks_per_s = batch * steps / decode_s
