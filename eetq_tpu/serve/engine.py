@@ -712,6 +712,12 @@ class Engine:
 
     # ---- scheduling ----
 
+    @property
+    def free_slots(self) -> int:
+        """Number of currently unoccupied decode slots (public: callers use
+        it to feed arrivals 'as slots free up')."""
+        return sum(1 for s in self.slot_req if s is None)
+
     def _free_slot(self) -> int | None:
         for i, s in enumerate(self.slot_req):
             if s is None:

@@ -88,7 +88,13 @@ def run_staggered(params, cfg, prompts, batch, max_len, buckets, window,
     t0 = time.perf_counter()
     steps = 0
     while eng2.has_work or pending:
-        if pending and len(eng2.queue) == 0 and steps % 2 == 1:
+        # "fed as slots free up" (the r1/r2 workload): one pending request
+        # per free slot. The old `steps % 2` cadence dated from the
+        # window-1 era when a step was a constant ~30 ms unit; with window
+        # CHAINING a step can retire a whole batch (64+ tokens), so an
+        # every-other-step drip starved the tail down to batch 1-2 and
+        # measured the arrival process, not the engine.
+        while pending and len(eng2.queue) < eng2.free_slots:
             uids.append(eng2.add_request(pending.pop(0), new_tokens, **skw))
         eng2.step()
         steps += 1
