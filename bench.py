@@ -276,6 +276,10 @@ def main():
         "metric": f"{preset}_w{bits}a16_decode_tok_s_b{batch}_p{prompt_len}",
         "value": round(r_q["decode_tok_s"], 2),
         "unit": "tok/s",
+        # record the knobs that change what the number means, so rows are
+        # comparable across versions without out-of-band knowledge
+        "fused_mlp": os.environ.get("EETQ_BENCH_FUSED_MLP", "1") != "0",
+        "reps": int(os.environ.get("EETQ_BENCH_REPS", 6)),
     }
     if r_bf16 is not None:
         speedup = r_q["decode_tok_s"] / r_bf16["decode_tok_s"]

@@ -254,6 +254,10 @@ def main():
         "engine_vs_loop": round(eng_tok_s / loop_tok_s, 4),
         "paged": paged,
         "temperature": temp,
+        # feed policy changed in r3 (was: one request per TWO scheduler
+        # steps; now: one per free slot). Recorded so rows measured under
+        # different arrival processes can't be conflated.
+        "feed_policy": "per_free_slot",
     }))
 
 
