@@ -402,6 +402,15 @@ class _LocalBackend:
             a8=self.a8_prefill, topk_cap=topk_cap,
         )
 
+    def prefill_commit_paged(self, tokens, true_lens, scratch, caches,
+                             blocks, key, temps, topks, bucket: int, nb: int,
+                             topk_cap: int):
+        return _prefill_commit_paged(
+            self.params, self.cfg, tokens, true_lens, scratch, caches,
+            blocks, key, temps, topks, bucket, nb,
+            a8=self.a8_prefill, topk_cap=topk_cap,
+        )
+
     def decode(self, tokens, lengths, caches):
         return _decode_batch(
             self.params, self.cfg, tokens, lengths, caches,
@@ -455,6 +464,81 @@ def _paged_insert_all(caches, scratch, src_row, blocks, n_blocks: int):
         paged_insert_dense(c, s, src_row, blocks, n_blocks)
         for c, s in zip(caches, scratch)
     ]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "bucket", "nb", "a8", "topk_cap"),
+    donate_argnames=("scratch", "caches"),
+)
+def _prefill_commit_paged(params, cfg: ModelConfig, tokens, true_lens,
+                          scratch, caches, blocks, key, temps, topks,
+                          bucket: int, nb: int, a8: bool = False,
+                          topk_cap: int = 0):
+    """Paged fused admission: prefill + first-token sampling + the
+    all-rows, all-layers pool-block hand-off in ONE dispatch + one [R]
+    fetch — the paged counterpart of _prefill_commit. (r3 left paged
+    admissions on the multi-round-trip path; r4 measured the decode
+    windows themselves within 0.16 ms/step of dense, so the admission
+    round-trips WERE the paged-vs-dense engine gap.)
+
+    blocks [R, nb] int32: each scratch row's physical pool blocks, padded
+    with block 0 — the reserved trash block — so dummy rows and the
+    beyond-prompt tail scatter harmlessly. Returns (first_tokens [R],
+    scratch, caches)."""
+    r, s = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (r, s))
+    logits, scratch = forward_inner(
+        params, cfg, tokens, positions, scratch, jnp.int32(0), a8=a8
+    )
+    last = jax.vmap(
+        lambda row, t: jax.lax.dynamic_index_in_dim(row, t - 1, axis=0,
+                                                    keepdims=False)
+    )(logits, true_lens)
+    first = _sample_rows(last, key, temps, topks, topk_cap)
+    bs = caches[0].block_size
+    idx = blocks.reshape(r * nb)
+
+    def grab(leaf):
+        """[R, Hkv, L(, D)] scratch -> [R*nb, Hkv, bs(, D)] block updates."""
+        want = nb * bs
+        sl = leaf[:, :, : min(want, leaf.shape[2])]
+        if sl.shape[2] < want:
+            pad = [(0, 0), (0, 0), (0, want - sl.shape[2])]
+            pad += [(0, 0)] * (leaf.ndim - 3)
+            sl = jnp.pad(sl, pad)
+        hkv = leaf.shape[1]
+        sl = sl.reshape(r, hkv, nb, bs, *leaf.shape[3:])
+        sl = jnp.moveaxis(sl, 2, 1)  # [R, nb, Hkv, bs, ...]
+        return sl.reshape(r * nb, hkv, bs, *leaf.shape[3:])
+
+    out = []
+    for c, sc in zip(caches, scratch):
+        if c.quantized and not sc.quantized:
+            raise ValueError("int8 paged pool needs an int8 dense scratch")
+        nc = dataclasses.replace(
+            c,
+            k=c.k.at[idx].set(grab(sc.k).astype(c.k.dtype)),
+            v=c.v.at[idx].set(grab(sc.v).astype(c.v.dtype)),
+        )
+        if c.quantized:
+            nc = dataclasses.replace(
+                nc,
+                k_scale=c.k_scale.at[idx].set(grab(sc.k_scale)),
+                v_scale=c.v_scale.at[idx].set(grab(sc.v_scale)),
+            )
+        out.append(nc)
+    return first, scratch, out
+
+
+@functools.partial(jax.jit, donate_argnames=("caches",))
+def _fanout_tables(caches, table):
+    """ONE host->device table transfer fanned out into per-layer buffers.
+    The decode window donates the cache pytree, so layers can't share a
+    single table buffer (it would be donated N times); `+ 0` forces a
+    distinct allocation per layer. Replaces N separate jnp.array
+    transfers per sync."""
+    return [dataclasses.replace(c, table=table + 0) for c in caches]
 
 
 @functools.partial(
@@ -773,12 +857,9 @@ class Engine:
 
     def _sync_tables(self) -> None:
         if self.paged and self._table_dirty:
-            # one table COPY per layer: the decode step donates the cache
-            # pytree, and a single shared buffer would be donated N times
-            self.caches = [
-                dataclasses.replace(c, table=jnp.array(self._table_np))
-                for c in self.caches
-            ]
+            self.caches = _fanout_tables(
+                self.caches, jnp.asarray(self._table_np)
+            )
             self._table_dirty = False
 
     def _paged_activate(self, row: int, slot: int, n: int) -> None:
@@ -822,13 +903,34 @@ class Engine:
         self._ensure_scratch(bucket)
         upto = min(bucket, self.max_len)
         self._key, sub = jax.random.split(self._key)
-        fused = not self.paged and hasattr(self._backend, "prefill_commit")
+        local = hasattr(self._backend, "prefill_commit")
+        fused = local and not self.paged
+        paged_fused = local and self.paged
         if fused:
             first, self._scratch, self.caches = self._backend.prefill_commit(
                 jnp.asarray(toks), jnp.asarray(lens), self._scratch,
                 self.caches, jnp.asarray(slots_np), sub,
                 jnp.asarray(temps_np), jnp.asarray(topks_np), bucket, upto,
                 self.topk_cap if temps_np.any() else 0,
+            )
+            first_np = np.asarray(first)  # the ONLY host fetch
+        elif paged_fused:
+            # allocate pool blocks + sync tables BEFORE the one fused
+            # dispatch; rows pad their block list with the trash block (0)
+            nb = min(-(-upto // self.paged_bs), self._max_seq_blocks)
+            blocks_np = np.zeros((rows, nb), np.int32)
+            for row, slot, req in assignments:
+                self._alloc_blocks(slot, len(req.prompt))
+                bl = self._slot_blocks[slot][:nb]
+                blocks_np[row, : len(bl)] = bl
+            self._sync_tables()
+            first, self._scratch, self.caches = (
+                self._backend.prefill_commit_paged(
+                    jnp.asarray(toks), jnp.asarray(lens), self._scratch,
+                    self.caches, jnp.asarray(blocks_np), sub,
+                    jnp.asarray(temps_np), jnp.asarray(topks_np), bucket, nb,
+                    self.topk_cap if temps_np.any() else 0,
+                )
             )
             first_np = np.asarray(first)  # the ONLY host fetch
         else:
@@ -846,9 +948,9 @@ class Engine:
                 )
             )
         for row, slot, req in assignments:
-            if self.paged:
+            if self.paged and not paged_fused:
                 self._paged_activate(row, slot, len(req.prompt))
-            elif not fused:
+            elif not fused and not paged_fused:
                 # one dispatch for ALL layers (generic tree.map insert)
                 self.caches = self._backend.insert_rows(
                     self.caches, self._scratch, jnp.int32(row),
