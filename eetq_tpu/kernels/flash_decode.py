@@ -12,9 +12,12 @@ Replaces the XLA decode-attention einsums with one fused kernel over the
   skips the DMA when the block index repeats, so only ceil(length/bl)
   blocks are ever fetched (a 2048-slot engine cache costs only its used
   prefix, unlike the XLA path which reads max_len every step);
-- int8 KV caches dequantize in-register (per-token scales streamed as
-  [B, Hkv, L, 1] views) — the full bandwidth win, unlike the XLA path
-  which materializes the dequantized cache;
+- int8 KV caches dequantize by scaling the SCORES/PROBS (scales stream in
+  their natural [B, Hkv, L] layout, L in lanes; the element-wise dequant
+  with [.., L, 1] scale views used through r3 padded every 4-byte scale
+  to a 128-lane row — more traffic than the bf16 cache it replaced) —
+  the full bandwidth win, unlike the XLA path which materializes the
+  dequantized cache;
 - GQA: each head computes its whole q group [G, D] against the block.
 
 Wins when max_len >> current length (continuous-batching engines) or with
@@ -66,6 +69,18 @@ def _fd_kernel(
         # paged pool blocks carry a leading [1] pool axis
         return ref[0, 0, t] if paged else ref[0, t]
 
+    def sc(ref, t, li_start):
+        # per-token scales keep L in the LANE dim and arrive as the WHOLE
+        # [Hkv, L] plane of the current batch row (both dims ride the
+        # equal-to-array-dim tile exemption; fetched once per row since
+        # the index map ignores h/l) — the kernel slices its [1, bl] row.
+        # `hi` is read at kernel trace top (program_id doesn't lower
+        # inside pl.when closures in interpret mode).
+        h = hi * bh + t
+        if paged:
+            return ref[0, 0, h][None, :]  # pool block: full bs lanes
+        return ref[0, h, pl.ds(li_start, ref.shape[-1] // nl)][None, :]
+
     b = pl.program_id(0)
     hi = pl.program_id(1)
     li = pl.program_id(2)
@@ -93,48 +108,83 @@ def _fd_kernel(
 
     @pl.when(should_run)
     def _run():
-        col = jax.lax.broadcasted_iota(jnp.int32, (g, bl), 1) + block_start
-        mask = col < length
+        # ALL bh heads in ONE pair of block-diagonal-masked dots. The r2/r3
+        # kernel looped over heads doing [G, bl] x [bl, D] work — at MHA
+        # shapes (G = 1) that is a latency chain of tiny VPU/MXU ops, and
+        # the kernel ran ~3x off its bandwidth floor (r4 trace: 32 us/layer
+        # vs an 11 us int8 floor at S~1k). Computing the full
+        # [bh*G, bh*bl] score matrix does bh x the MXU work — but the MXU
+        # is idle at decode shapes, while the batched softmax runs one
+        # 8-sublane VPU pass instead of bh serial ones. Off-band (cross-
+        # head) entries are masked to MASK_VALUE and die in exp().
+        rows, cols, d = bh * g, bh * bl, q_ref.shape[-1]
+        jlane = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        own = (jlane // bl) == (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // g
+        )
+        col = block_start + (jlane - (jlane // bl) * bl)  # cache position
+        mask = own & (col < length)
         if window is not None:
             mask &= col >= length - window
-        for t in range(bh):  # unrolled over the head block
-            q = (q_ref[0, t].astype(jnp.float32) * scale)  # [G, D]
-            k = kv(k_ref, t)  # [bl, D]
-            v = kv(v_ref, t)
-            if quantized:
-                k = k.astype(jnp.bfloat16) * kv(ks_ref, t).astype(jnp.bfloat16)
-                v = v.astype(jnp.bfloat16) * kv(vs_ref, t).astype(jnp.bfloat16)
-            q_ = q.astype(k.dtype)
-            s = jax.lax.dot_general(
-                q_, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [G, bl]
-            if alibi:
-                # the query sits at position length-1
-                sl = jnp.stack(slopes_all[t])  # [G]
-                s = s + sl[:, None] * (col - (length - 1)).astype(jnp.float32)
-            s = jnp.where(mask, s, MASK_VALUE)
+        kb = (kv(k_ref, slice(None))).reshape(cols, d)
+        vb = (kv(v_ref, slice(None))).reshape(cols, d)
+        if quantized:
+            # int8 KV dequantizes by SCALING THE SCORES/PROBS, not the
+            # elements: scales stream in their natural layout (L in
+            # lanes — a [.., L, 1] view pads every 4-byte scale to a
+            # 128-lane row, ~128x the scale traffic, which is exactly
+            # what made int8 KV slower than bf16 through r3), and
+            # q.(ks*k) == (q.k)*ks per token column.
+            kb = kb.astype(jnp.bfloat16)
+            vb = vb.astype(jnp.bfloat16)
+        qb = (
+            q_ref[0].reshape(rows, d).astype(jnp.float32) * scale
+        ).astype(kb.dtype)
+        s = jax.lax.dot_general(
+            qb, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [rows, cols]
+        if quantized:
+            ks_full = jnp.concatenate(
+                [sc(ks_ref, t, block_start) for t in range(bh)], axis=1
+            )  # [1, cols]
+            s = s * ks_full.astype(jnp.float32)
+        if alibi:
+            sl = jnp.stack(
+                [slopes_all[t][gg] for t in range(bh) for gg in range(g)]
+            )  # [rows]; query sits at position length-1
+            s = s + sl[:, None] * (col - (length - 1)).astype(jnp.float32)
+        s = jnp.where(mask, s, MASK_VALUE)
 
-            r = slice(t * g, (t + 1) * g)  # this head's scratch row band
-            m_prev = m_ref[r]
-            m_curr = jnp.max(s, axis=-1, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])
-            p = jnp.exp(s - m_next[:, :1])
-            l_ref[r] = l_ref[r] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            m_ref[r] = m_next
-            pv = jax.lax.dot(
-                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        r = slice(0, rows)
+        m_prev = m_ref[r]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])
+        p = jnp.exp(s - m_next[:, :1])
+        l_ref[r] = l_ref[r] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[r] = m_next
+        if quantized:
+            # v's per-token scales fold into the probabilities; off-band
+            # entries are already 0 so the wrong-head scales they see
+            # don't matter
+            vs_full = jnp.concatenate(
+                [sc(vs_ref, t, block_start) for t in range(bh)], axis=1
             )
-            acc_ref[r] = acc_ref[r] * alpha + pv
+            p = p * vs_full.astype(jnp.float32)
+        pv = jax.lax.dot(
+            p.astype(vb.dtype), vb, preferred_element_type=jnp.float32
+        )
+        acc_ref[r] = acc_ref[r] * alpha + pv
 
     @pl.when(li == nl - 1)
     def _finalize():
-        for t in range(bh):
-            r = slice(t * g, (t + 1) * g)
-            l = l_ref[r, :1]
-            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            out_ref[0, t] = (acc_ref[r] * l_inv).astype(out_ref.dtype)
+        rows = bh * g
+        l = l_ref[:rows, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        out_ref[0] = (acc_ref[:rows] * l_inv).astype(out_ref.dtype).reshape(
+            bh, g, out_ref.shape[-1]
+        )
 
 
 @functools.partial(
@@ -194,10 +244,18 @@ def paged_flash_decode(
     ]
     operands = [qg, cache.k[None], cache.v[None]]
     if quantized:
-        in_specs.append(pl.BlockSpec((1, 1, bh, bs, 1), kv_map_pool))
-        in_specs.append(pl.BlockSpec((1, 1, bh, bs, 1), kv_map_pool))
-        operands.append(cache.k_scale[None].reshape(1, nb_pool, hkv, bs, 1))
-        operands.append(cache.v_scale[None].reshape(1, nb_pool, hkv, bs, 1))
+        # scales keep their natural [NB, Hkv, BS] layout (BS in lanes) —
+        # a trailing-1 axis would pad every 4-byte scale to a 128-lane
+        # row (~128x the scale traffic). The whole head plane ships per
+        # pool block (Hkv rides the equal-dim tile exemption).
+        def sc_map_pool(bb, h, li, lens, tbl):
+            last = jnp.maximum(lens[bb] - 1, 0) // bs
+            return 0, tbl[bb, jnp.minimum(li, last)], 0, 0
+
+        in_specs.append(pl.BlockSpec((1, 1, hkv, bs), sc_map_pool))
+        in_specs.append(pl.BlockSpec((1, 1, hkv, bs), sc_map_pool))
+        operands.append(cache.k_scale[None])
+        operands.append(cache.v_scale[None])
     alibi = slopes is not None
     if alibi:
         in_specs.append(
@@ -278,19 +336,39 @@ def flash_decode(
     # per-head VPU work, the r2 tight-cache loss). A round 2048-slot
     # cache still picks exactly 512. block_h shrinks with bl, so VMEM
     # stays bounded either way.
-    divisors = [c for c in range(8, min(4 * block_l, lmax) + 1, 8)
+    # int8 caches additionally need bl % 128 == 0: the kernel lane-slices
+    # the full scale plane at li*bl, and Mosaic must statically prove that
+    # offset is a multiple of 128 (init_kv_cache rounds lmax to 128, so
+    # 128-step divisors always exist).
+    quantized = cache.quantized
+    step = 128 if quantized else 8
+    divisors = [c for c in range(step, min(4 * block_l, lmax) + 1, step)
                 if lmax % c == 0]
     if not divisors:
         return attention_decode_ref(
             q, cache, length, window, scale, slopes=slopes
         )
-    bl = min(divisors, key=lambda c: (abs(c - block_l), -c))
+    def _bh_for(bl_c):
+        # heads per step: fill the VPU sublanes, capped so the KV block
+        # stays ~512 KiB
+        b_h = max(1, min(hkv, 32 // group, (512 * 1024) // (bl_c * d)))
+        while hkv % b_h:
+            b_h -= 1
+        return b_h
+
+    # The batched score matrix wants >= 8 rows (bh*G) per grid step so the
+    # softmax fills the VPU sublanes: among divisors, prefer the closest
+    # to block_l that still admits 8 rows under the VMEM cap (a 1152-slot
+    # cache picks bl=384/bh=8 over bl=576/bh=4: trading one extra L step
+    # for 2x the rows measured faster at MHA shapes).
+    bl = max(
+        divisors,
+        key=lambda c: (min(_bh_for(c) * group, 8), -abs(c - block_l), c),
+    )
     nl = lmax // bl
 
     if block_h is None:
-        # enough heads per step that scratch bands fill sublanes, capped so
-        # the KV block stays ~512 KiB
-        block_h = max(1, min(hkv, 32 // group, (512 * 1024) // (bl * d)))
+        block_h = _bh_for(bl)
     bh = block_h
     while hkv % bh:
         bh -= 1
@@ -298,8 +376,6 @@ def flash_decode(
 
     lengths = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1), (b,))
     qg = q[:, 0].reshape(b, hkv, group, d)
-
-    quantized = cache.quantized
 
     def kv_map(bb, h, li, lens):
         # clamp the L-block index to the last VALID block for this row:
@@ -314,10 +390,18 @@ def flash_decode(
     ]
     operands = [qg, cache.k, cache.v]
     if quantized:
-        in_specs.append(pl.BlockSpec((1, bh, bl, 1), kv_map))
-        in_specs.append(pl.BlockSpec((1, bh, bl, 1), kv_map))
-        operands.append(cache.k_scale.reshape(b, hkv, lmax, 1))
-        operands.append(cache.v_scale.reshape(b, hkv, lmax, 1))
+        # natural [B, Hkv, L] scale layout (L in lanes; see the kernel's
+        # sc() note — the r2/r3 [.., L, 1] layout was the int8-KV loss).
+        # The whole [Hkv, L] plane ships once per batch row (both dims on
+        # the equal-dim tile exemption; ~L*4 bytes/head, trivial next to
+        # the KV data) and the kernel lane-slices its [1, bl] row.
+        def sc_map(bb, h, li, lens):
+            return bb, 0, 0
+
+        in_specs.append(pl.BlockSpec((1, hkv, lmax), sc_map))
+        in_specs.append(pl.BlockSpec((1, hkv, lmax), sc_map))
+        operands.append(cache.k_scale)
+        operands.append(cache.v_scale)
     alibi = slopes is not None
     if alibi:
         in_specs.append(

@@ -245,11 +245,14 @@ def attention_decode(
     """
     scale = 1.0 / (q.shape[-1] ** 0.5)
     if use_kernel is None:
-        # Default: the XLA einsum path. In the tight-cache generate loop it
-        # ties the head-batched flash-decode kernel e2e on v5e; the kernel's
-        # decisive wins are oversized caches (9x — the Engine opts in on
-        # TPU) and in-register int8-KV dequant.
-        use_kernel = False
+        # Default: the flash-decode kernel on TPU. Through r3 it merely
+        # tied XLA on tight caches (per-head loop of [G, bl] dots was
+        # latency-bound at MHA shapes); the r4 batched-score rewrite wins
+        # there too (llama2-7b b=1 S~1k: 9.90 vs 10.01 ms/step, and
+        # 9.64 with int8 KV), on top of the oversized-cache (engine) and
+        # in-register int8-dequant wins. CPU keeps the einsum oracle so
+        # interpret-mode outputs stay bit-identical to generate().
+        use_kernel = jax.default_backend() == "tpu"
     if use_kernel:
         from eetq_tpu.kernels.flash_decode import flash_decode
 
