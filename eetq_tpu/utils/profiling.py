@@ -306,6 +306,92 @@ def tp_decode_scaling(
     )
 
 
+@dataclasses.dataclass
+class PPScalingEstimate:
+    pp: int
+    t_tick_ms: float  # steady-state ring tick (one microbatch-token)
+    t_stage_ms: float  # per-stage compute share of the tick
+    t_link_ms: float  # activation transfer + latency per boundary
+    link_bytes_per_tick: int
+    throughput_speedup: float  # aggregate tokens/s vs one device
+    efficiency: float  # throughput_speedup / pp
+    latency_x: float  # per-token latency multiplier vs one device
+
+    def __str__(self) -> str:
+        return (
+            f"pp={self.pp}: tick {self.t_tick_ms:.2f} ms "
+            f"(stage {self.t_stage_ms:.2f} + link {self.t_link_ms:.3f}; "
+            f"{self.link_bytes_per_tick/1e3:.1f} KB/boundary) | "
+            f"throughput {self.throughput_speedup:.2f}x, "
+            f"efficiency {self.efficiency:.0%}, "
+            f"token latency {self.latency_x:.2f}x"
+        )
+
+
+def pp_decode_scaling(
+    cfg,
+    pp: int,
+    batch: int = 1,
+    bits: int = 8,
+    link_gbs: float = 12.5,
+    link_latency_s: float = 25e-6,
+    measured_t1_ms: float | None = None,
+) -> PPScalingEstimate:
+    """Token-ring pipeline-parallel decode throughput model
+    (dist/pipeline.py's schedule with M = pp microbatches in flight).
+
+    In the saturated ring every stage processes a different microbatch
+    each tick, so the system retires ONE microbatch-token per tick:
+      t_tick = t1/pp (each stage streams 1/pp of the weights)
+               + t_link (one [B, H] bf16 activation + one hop latency).
+    This is WEAK scaling: total live batch = pp microbatches of `batch`
+    rows (one per stage). Throughput then scales like DP — but each
+    device holds only 1/pp of the weights (DP replicates them pp times),
+    which is what lets a too-big model serve at all. Per-token LATENCY
+    is pp * t_tick (a microbatch traverses all stages): PP trades
+    latency for memory/throughput, and its tiny per-boundary payload
+    (vs TP's 2 psums/layer) makes it the right axis to put on DCN
+    (defaults model a ~100 Gb/s, 25 us host link). At FIXED total batch
+    PP gains nothing at decode (each stage streams 1/pp of the weights
+    pp times as often) — use TP for that regime.
+
+    measured_t1_ms: single-DEVICE step time for the whole model (or the
+    tp-sharded per-step time when modeling pp-over-tp); default = HBM
+    roofline of the full weight stream.
+    """
+    peak_gbs, _ = chip_peaks()
+    h = cfg.hidden_size
+    wpb = 0.5 if bits == 4 else 1.0
+    layer_bytes = wpb * (
+        h * cfg.qkv_out
+        + cfg.num_heads * cfg.head_dim * h
+        + h * 2 * cfg.intermediate_size
+        + cfg.intermediate_size * h
+    )
+    total_bytes = cfg.num_layers * layer_bytes + wpb * h * cfg.vocab_size
+    t1 = (
+        measured_t1_ms / 1e3
+        if measured_t1_ms is not None
+        else total_bytes / (peak_gbs * 1e9)
+    )
+    # activation + ring token payload between stages, per tick
+    link_bytes = int(batch * h * 2 + batch * 4)
+    t_link = link_bytes / (link_gbs * 1e9) + link_latency_s
+    t_stage = t1 / pp
+    t_tick = t_stage + t_link
+    speedup = t1 / t_tick  # tokens/s vs one device (batch per tick vs t1)
+    return PPScalingEstimate(
+        pp=pp,
+        t_tick_ms=t_tick * 1e3,
+        t_stage_ms=t_stage * 1e3,
+        t_link_ms=t_link * 1e3,
+        link_bytes_per_tick=link_bytes,
+        throughput_speedup=speedup,
+        efficiency=speedup / pp,
+        latency_x=pp * t_tick / t1,
+    )
+
+
 def trace(path: str):
     """Context manager: capture a jax.profiler device trace to `path`
     (viewable in TensorBoard / xprof). May be unsupported on relayed

@@ -62,6 +62,29 @@ def main():
           "fitting a bigger model: per-step ICI bytes and 2(tp-1)-hop "
           "latency per collective are the exact terms.")
 
+    from eetq_tpu.utils.profiling import pp_decode_scaling
+
+    print()
+    print(f"{args.preset} pipeline-parallel decode (token ring, "
+          f"dist/pipeline.py; pp microbatches of batch={args.batch} in "
+          "flight; ~100 Gb/s 25 us DCN link — PP is the axis to put "
+          "ACROSS hosts, its per-boundary payload is one activation):")
+    print("| pp | tick ms | stage ms | link ms | throughput | efficiency "
+          "| token latency |")
+    print("|---|---|---|---|---|---|---|")
+    for pp in (2, 4, 8):
+        e = pp_decode_scaling(cfg, pp, batch=args.batch, bits=args.bits,
+                              measured_t1_ms=t1)
+        print(f"| {pp} | {e.t_tick_ms:.2f} | {e.t_stage_ms:.2f} | "
+              f"{e.t_link_ms:.3f} | {e.throughput_speedup:.2f}x | "
+              f"{e.efficiency:.0%} | {e.latency_x:.2f}x |")
+    print()
+    print("Weak scaling: total live batch grows with pp (one microbatch "
+          "per stage), so throughput scales like DP while each device "
+          "holds only 1/pp of the weights; per-token latency pays the "
+          "pipeline depth. At FIXED total batch PP gains nothing at "
+          "decode — TP covers that regime (table above).")
+
 
 if __name__ == "__main__":
     main()

@@ -93,3 +93,71 @@ def test_tp_decode_scaling_model():
     e70 = tp_decode_scaling(LLAMA2_70B, 8)
     assert e70.efficiency > e8.efficiency
     assert e70.t_hbm_ms > 5.0  # ~68 GB / 8 chips / 819 GB/s
+
+
+def test_pp_collective_census():
+    """The PP model assumes ONE ring ppermute per decode tick (the
+    activation+token payload) — assert it against the real pipelined
+    program's jaxpr: exactly one ppermute inside the decode scan body
+    (= total_ticks executions), and pp-1 boundary permutes in prefill."""
+    import jax
+
+    from eetq_tpu.dist import (
+        init_pp_caches,
+        make_pp_mesh,
+        shard_model_pp,
+    )
+    from eetq_tpu.dist.pipeline import _pp_decode_jit, _pp_prefill_jit
+    from eetq_tpu.models import ModelConfig, random_dense_params
+    from eetq_tpu.utils.profiling import count_collectives
+
+    cfg = ModelConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=8, num_kv_heads=4, head_dim=16, max_position=32,
+    )
+    dense = random_dense_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    mesh = make_pp_mesh(pp=2, tp=1, dp=1)
+    model = shard_model_pp(dense, cfg, mesh, quantize=False)
+    caches = init_pp_caches(model, 2, 16)
+    first = jnp.zeros((2,), jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    counts = count_collectives(
+        lambda p, f, c, k: _pp_decode_jit(
+            model, p, f, jnp.int32(4), c, 3, 2, 0.0, 0, k
+        ),
+        model.params, first, caches, key,
+    )
+    # one ring transfer per tick, traced once inside the scan: the
+    # (activation, token) tuple payload lowers to one ppermute per leaf
+    # (2 eqns), and its total bytes are exactly the scaling model's
+    # link_bytes term (mbs*h*2 bf16 activation + mbs*4 token), plus the
+    # final out-buffer psum
+    assert counts.get("ppermute_count", 0) == 2, counts
+    mbs, h = 1, cfg.hidden_size
+    assert counts.get("ppermute", 0) == mbs * h * 2 + mbs * 4, counts
+    assert counts.get("psum_count", 0) + counts.get("psum2_count", 0) >= 1, counts
+
+    caches2 = init_pp_caches(model, 2, 16)
+    toks = jnp.zeros((2, 4), jnp.int32)
+    counts_p = count_collectives(
+        lambda p, t, c: _pp_prefill_jit(model, p, t, c, 2),
+        model.params, toks, caches2,
+    )
+    assert counts_p.get("ppermute_count", 0) == 1, counts_p
+
+
+def test_pp_decode_scaling_model():
+    """PP weak-scaling estimate sanity: efficiency in (0, 1], latency
+    multiplier >= 1, and bigger models amortize the link better."""
+    from eetq_tpu.models.config import LLAMA2_7B, LLAMA2_70B
+    from eetq_tpu.utils.profiling import pp_decode_scaling
+
+    for pp in (2, 4, 8):
+        e = pp_decode_scaling(LLAMA2_7B, pp, measured_t1_ms=10.0)
+        assert 0 < e.efficiency <= 1.0, e
+        assert e.latency_x >= 1.0, e
+        assert abs(e.t_tick_ms - (e.t_stage_ms + e.t_link_ms)) < 1e-9
+    small = pp_decode_scaling(LLAMA2_7B, 8, measured_t1_ms=10.0)
+    big = pp_decode_scaling(LLAMA2_70B, 8, measured_t1_ms=84.0)
+    assert big.efficiency > small.efficiency
