@@ -84,8 +84,12 @@ def decoder_layer(
     a8: bool = False,
     decode_kernel: bool | None = None,
     fused_mlp: bool | None = None,
+    lora_idx: jax.Array | None = None,
 ) -> tuple[jax.Array, KVCache | None]:
     """One decoder layer.
+
+    lora_idx [B]: per-row adapter selection when the layer's adapters are
+    BANKS (multi-adapter serving; see modules.linear.linear_apply).
 
     fused_mlp: run the MLP block as ONE kernel dispatch in the decode
     regime (ops/mlp.py) — None reads the EETQ_FUSED_MLP env default.
@@ -112,7 +116,8 @@ def decoder_layer(
         )  # [b, s, (hq+2hkv)*d] local
     else:
         y = _norm(x, p.input_norm, cfg)
-        qkv = linear_apply(p.qkv, y, lora=p.qkv_lora, a8=a8)
+        qkv = linear_apply(p.qkv, y, lora=p.qkv_lora, a8=a8,
+                           lora_idx=lora_idx)
     q, k, v = jnp.split(qkv, [hq * d, (hq + hkv) * d], axis=-1)
     q = q.reshape(b, s, hq, d)
     k = k.reshape(b, s, hkv, d)
@@ -138,7 +143,8 @@ def decoder_layer(
     # (gemm_bias_act_residual parity, fpA_intB_gemm_template.h:804), but on
     # v5e the extra residual block stream measured ~0.3 ms/step SLOWER than
     # XLA's standalone add at decode shapes — so the add stays outside.
-    o = linear_apply(p.o_proj, attn.reshape(b, s, hq * d), lora=p.o_lora, a8=a8)
+    o = linear_apply(p.o_proj, attn.reshape(b, s, hq * d), lora=p.o_lora,
+                     a8=a8, lora_idx=lora_idx)
     x = residual + _maybe_psum(o, tp_axis)
 
     # --- mlp block (fused gate/up, gated activation) ---
@@ -188,6 +194,7 @@ def forward_inner(
     a8: bool = False,
     decode_kernel: bool | None = None,
     fused_mlp: bool | None = None,
+    lora_idx: jax.Array | None = None,
 ) -> tuple[jax.Array, list[KVCache] | None]:
     """Un-jitted forward body; called directly inside shard_map by
     eetq_tpu.dist (tp > 1) and via the jitted `forward` single-device."""
@@ -202,7 +209,7 @@ def forward_inner(
         x, cache_i = decoder_layer(
             layer, cfg, x, positions, cos_sin, cache_i, offset, use_flash,
             tp=tp, tp_axis=tp_axis, a8=a8, decode_kernel=decode_kernel,
-            fused_mlp=fused_mlp,
+            fused_mlp=fused_mlp, lora_idx=lora_idx,
         )
         if new_caches is not None:
             new_caches.append(cache_i)
@@ -233,11 +240,12 @@ def forward(
     use_flash: bool = True,
     a8: bool = False,
     fused_mlp: bool | None = None,
+    lora_idx: jax.Array | None = None,
 ) -> tuple[jax.Array, list[KVCache] | None]:
     """Single-device forward. Returns (logits [B, S, V] f32, caches)."""
     return forward_inner(
         params, cfg, tokens, positions, caches, offset, use_flash=use_flash,
-        a8=a8, fused_mlp=fused_mlp,
+        a8=a8, fused_mlp=fused_mlp, lora_idx=lora_idx,
     )
 
 

@@ -124,9 +124,17 @@ def linear_apply(
     residual: jax.Array | None = None,
     a8: bool = False,
     prenorm: tuple[jax.Array, float] | None = None,
+    lora_idx: jax.Array | None = None,
 ) -> jax.Array:
     """Forward through a (quantized or dense) linear with optional fused
     activation, fused residual add, and LoRA side path.
+
+    Multi-adapter serving (the LoRAX hosting model the reference's LoRA
+    machinery exists for, reference `README.md:96-101`): when `lora`
+    carries a BANK — lora_a [n_adapters, K, r], lora_b [n_adapters, r, N]
+    — `lora_idx` [B] selects each batch row's adapter. The gathered
+    adapters are tiny next to the base weight stream (K*r + r*N elements
+    per row), so mixed-adapter batches decode at full speed.
 
     a8=True uses the W8A8/W4A8 path (dynamic per-token int8 activations,
     s8xs8 MXU at 2x bf16 throughput) when the layer is an int8 per-channel
@@ -190,6 +198,16 @@ def linear_apply(
     if lora is not None:
         if activation is not None:
             raise ValueError("LoRA with fused activation is not supported")
-        side = (x @ lora.lora_a.astype(x.dtype)) @ lora.lora_b.astype(x.dtype)
+        if lora.lora_a.ndim == 3:  # adapter bank: per-row selection
+            if lora_idx is None:
+                raise ValueError("banked LoRA requires lora_idx [B]")
+            a_sel = lora.lora_a[lora_idx].astype(x.dtype)  # [B, K, r]
+            b_sel = lora.lora_b[lora_idx].astype(x.dtype)  # [B, r, N]
+            side = jnp.einsum("bsk,bkr->bsr", x, a_sel)
+            side = jnp.einsum("bsr,brn->bsn", side, b_sel)
+        else:
+            side = (x @ lora.lora_a.astype(x.dtype)) @ lora.lora_b.astype(
+                x.dtype
+            )
         out = out + side * lora.scaling
     return out

@@ -57,6 +57,7 @@ class Request:
     temperature: float = 0.0
     top_k: int = 0
     eos_token_id: int | None = None
+    lora_id: int = 0  # adapter index when the model carries LoRA banks
     out_tokens: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
 
@@ -65,7 +66,7 @@ class Request:
     jax.jit, static_argnames=("cfg", "bucket", "a8"), donate_argnames=("caches",)
 )
 def _prefill_bucketed(params, cfg: ModelConfig, tokens, true_lens, bucket: int,
-                      caches, a8: bool = False):
+                      caches, a8: bool = False, lora_ids=None):
     """Prefill a group of R requests padded to `bucket`. tokens [R, bucket];
     true_lens [R]; caches are R-row [R, max_len] scratch (donated — the
     engine reuses one scratch buffer across prefills instead of allocating
@@ -76,7 +77,8 @@ def _prefill_bucketed(params, cfg: ModelConfig, tokens, true_lens, bucket: int,
     r, s = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (r, s))
     logits, caches = forward_inner(
-        params, cfg, tokens, positions, caches, jnp.int32(0), a8=a8
+        params, cfg, tokens, positions, caches, jnp.int32(0), a8=a8,
+        lora_idx=lora_ids,
     )
     last = jax.vmap(
         lambda row, t: jax.lax.dynamic_index_in_dim(row, t - 1, axis=0,
@@ -92,7 +94,7 @@ def _prefill_bucketed(params, cfg: ModelConfig, tokens, true_lens, bucket: int,
 )
 def _prefill_commit(params, cfg: ModelConfig, tokens, true_lens, scratch,
                     caches, slots, key, temps, topks, bucket: int, upto: int,
-                    a8: bool = False, topk_cap: int = 0):
+                    a8: bool = False, topk_cap: int = 0, lora_ids=None):
     """Prefill + slot insert + first-token sampling in ONE dispatch.
 
     The round-2 admission path took ~4 host round-trips per prefill group
@@ -107,7 +109,8 @@ def _prefill_commit(params, cfg: ModelConfig, tokens, true_lens, scratch,
     r, s = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (r, s))
     logits, scratch = forward_inner(
-        params, cfg, tokens, positions, scratch, jnp.int32(0), a8=a8
+        params, cfg, tokens, positions, scratch, jnp.int32(0), a8=a8,
+        lora_idx=lora_ids,
     )
     last = jax.vmap(
         lambda row, t: jax.lax.dynamic_index_in_dim(row, t - 1, axis=0,
@@ -139,7 +142,7 @@ def _prefill_commit(params, cfg: ModelConfig, tokens, true_lens, scratch,
     jax.jit, static_argnames=("cfg", "decode_kernel"), donate_argnames=("caches",)
 )
 def _decode_batch(params, cfg: ModelConfig, tokens, lengths, caches,
-                  decode_kernel: bool = False):
+                  decode_kernel: bool = False, lora_ids=None):
     """One lock-step decode over all slots. tokens [B, 1] (current input
     token per slot), lengths [B] (valid cache entries per slot = position
     of `tokens`). Returns (logits [B, V], caches with KV written at
@@ -152,7 +155,7 @@ def _decode_batch(params, cfg: ModelConfig, tokens, lengths, caches,
     positions = lengths[:, None]
     logits, caches = forward_inner(
         params, cfg, tokens, positions, caches, lengths,
-        decode_kernel=decode_kernel,
+        decode_kernel=decode_kernel, lora_idx=lora_ids,
     )
     return logits[:, -1, :], caches
 
@@ -189,7 +192,7 @@ _sample_rows_jit = jax.jit(_sample_rows, static_argnames=("topk_cap",))
 )
 def _decode_multi(params, cfg: ModelConfig, tokens, lengths, caches,
                   key, temps, topks, steps: int, decode_kernel: bool = False,
-                  sample: bool = False, topk_cap: int = 0):
+                  sample: bool = False, topk_cap: int = 0, lora_ids=None):
     """`steps` lock-step decode iterations in ONE dispatch (lax.scan,
     caches as donated carry). Behind the ~26 ms relay, per-token host
     round-trips cap the engine regardless of kernel speed; this amortizes
@@ -208,7 +211,7 @@ def _decode_multi(params, cfg: ModelConfig, tokens, lengths, caches,
         tok, lens, caches, key = carry
         logits, caches = forward_inner(
             params, cfg, tok, lens[:, None], caches, lens,
-            decode_kernel=decode_kernel,
+            decode_kernel=decode_kernel, lora_idx=lora_ids,
         )
         if sample:
             key, sub = jax.random.split(key)
@@ -275,14 +278,17 @@ class _ShardedBackend:
         last = jnp.take_along_axis(logits, idx, axis=1)[:, 0]
         return last, caches
 
-    def decode(self, tokens, lengths, caches):
+    def decode(self, tokens, lengths, caches, lora_ids=None):
+        assert lora_ids is None, "banked LoRA is local-backend only"
         logits, caches = self._fwd_rows(
             self.params, tokens, lengths[:, None], caches, lengths
         )
         return logits[:, -1, :], caches
 
     def decode_multi(self, tokens, lengths, caches, steps: int, key, temps,
-                     topks, sample: bool = False, topk_cap: int = 0):
+                     topks, sample: bool = False, topk_cap: int = 0,
+                     lora_ids=None):
+        assert lora_ids is None, "banked LoRA is local-backend only"
         cache_key = (steps, sample, topk_cap)
         fn = self._multi.get(cache_key)
         if fn is None:
@@ -388,42 +394,45 @@ class _LocalBackend:
     def place_caches(self, caches):
         return caches
 
-    def prefill(self, tokens, true_lens, bucket, caches):
+    def prefill(self, tokens, true_lens, bucket, caches, lora_ids=None):
         return _prefill_bucketed(
             self.params, self.cfg, tokens, true_lens, bucket, caches,
-            a8=self.a8_prefill,
+            a8=self.a8_prefill, lora_ids=lora_ids,
         )
 
     def prefill_commit(self, tokens, true_lens, scratch, caches, slots, key,
-                       temps, topks, bucket: int, upto: int, topk_cap: int):
+                       temps, topks, bucket: int, upto: int, topk_cap: int,
+                       lora_ids=None):
         return _prefill_commit(
             self.params, self.cfg, tokens, true_lens, scratch, caches,
             slots, key, temps, topks, bucket, upto,
-            a8=self.a8_prefill, topk_cap=topk_cap,
+            a8=self.a8_prefill, topk_cap=topk_cap, lora_ids=lora_ids,
         )
 
     def prefill_commit_paged(self, tokens, true_lens, scratch, caches,
                              blocks, key, temps, topks, bucket: int, nb: int,
-                             topk_cap: int):
+                             topk_cap: int, lora_ids=None):
         return _prefill_commit_paged(
             self.params, self.cfg, tokens, true_lens, scratch, caches,
             blocks, key, temps, topks, bucket, nb,
-            a8=self.a8_prefill, topk_cap=topk_cap,
+            a8=self.a8_prefill, topk_cap=topk_cap, lora_ids=lora_ids,
         )
 
-    def decode(self, tokens, lengths, caches):
+    def decode(self, tokens, lengths, caches, lora_ids=None):
         return _decode_batch(
             self.params, self.cfg, tokens, lengths, caches,
             decode_kernel=jax.default_backend() == "tpu",
+            lora_ids=lora_ids,
         )
 
     def decode_multi(self, tokens, lengths, caches, steps: int, key, temps,
-                     topks, sample: bool = False, topk_cap: int = 0):
+                     topks, sample: bool = False, topk_cap: int = 0,
+                     lora_ids=None):
         return _decode_multi(
             self.params, self.cfg, tokens, lengths, caches, key, temps,
             topks, steps,
             decode_kernel=jax.default_backend() == "tpu",
-            sample=sample, topk_cap=topk_cap,
+            sample=sample, topk_cap=topk_cap, lora_ids=lora_ids,
         )
 
     def insert_rows(self, big, small, src, slot, upto_pad: int):
@@ -434,7 +443,7 @@ class _LocalBackend:
     jax.jit, static_argnames=("cfg", "offset"), donate_argnames=("caches",)
 )
 def _prefill_chunk_step(params, cfg: ModelConfig, chunk, caches, offset: int,
-                        last_idx):
+                        last_idx, lora_ids=None):
     """One STATIC-offset prefill chunk on the scratch caches (the chunk
     attends over cache[:, :, :offset+c] — modules.attention's chunked
     path). Returns (logits at last_idx [R, V], caches)."""
@@ -445,7 +454,7 @@ def _prefill_chunk_step(params, cfg: ModelConfig, chunk, caches, offset: int,
         offset + jnp.arange(c, dtype=jnp.int32), (r, c)
     )
     logits, caches = forward_inner(
-        params, cfg, chunk, positions, caches, offset
+        params, cfg, chunk, positions, caches, offset, lora_idx=lora_ids
     )
     last = jnp.take_along_axis(
         logits, jnp.broadcast_to(last_idx, (r,))[:, None, None], axis=1
@@ -474,7 +483,7 @@ def _paged_insert_all(caches, scratch, src_row, blocks, n_blocks: int):
 def _prefill_commit_paged(params, cfg: ModelConfig, tokens, true_lens,
                           scratch, caches, blocks, key, temps, topks,
                           bucket: int, nb: int, a8: bool = False,
-                          topk_cap: int = 0):
+                          topk_cap: int = 0, lora_ids=None):
     """Paged fused admission: prefill + first-token sampling + the
     all-rows, all-layers pool-block hand-off in ONE dispatch + one [R]
     fetch — the paged counterpart of _prefill_commit. (r3 left paged
@@ -489,7 +498,8 @@ def _prefill_commit_paged(params, cfg: ModelConfig, tokens, true_lens,
     r, s = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (r, s))
     logits, scratch = forward_inner(
-        params, cfg, tokens, positions, scratch, jnp.int32(0), a8=a8
+        params, cfg, tokens, positions, scratch, jnp.int32(0), a8=a8,
+        lora_idx=lora_ids,
     )
     last = jax.vmap(
         lambda row, t: jax.lax.dynamic_index_in_dim(row, t - 1, axis=0,
@@ -629,6 +639,25 @@ class Engine:
             )
         self.params = params
         self.cfg = cfg
+        # multi-adapter LoRA serving (LoRAX-style: one quantized base,
+        # per-request adapters — surgery.stack_adapters builds the banks):
+        # banked adapters have a leading [n_adapters] axis; requests pick
+        # theirs via add_request(lora_id=...)
+        def _is_bank(ad):
+            return ad is not None and ad.lora_a.ndim == 3
+
+        first_layer = params.layers[0] if getattr(params, "layers", None) else None
+        self._lora_banked = first_layer is not None and (
+            _is_bank(first_layer.qkv_lora) or _is_bank(first_layer.o_lora)
+        )
+        if self._lora_banked:
+            if isinstance(self._backend, _ShardedBackend):
+                raise ValueError(
+                    "banked LoRA serving is local-backend only for now"
+                )
+            bank = first_layer.qkv_lora or first_layer.o_lora
+            self._n_adapters = bank.lora_a.shape[0]
+        self.lora_ids = np.zeros((max_batch,), np.int32)
         self.max_batch = max_batch
         self.max_len = min(max_len, cfg.max_position)
         self.buckets = tuple(
@@ -715,6 +744,7 @@ class Engine:
         temperature: float = 0.0,
         top_k: int = 0,
         eos_token_id: int | None = None,
+        lora_id: int = 0,
     ) -> int:
         prompt = [int(t) for t in np.asarray(prompt).ravel()]
         if not prompt:
@@ -732,6 +762,16 @@ class Engine:
                 f"{self.topk_cap} (a static bound for the compiled decode "
                 f"window) — construct Engine(topk_cap=...) larger"
             )
+        if lora_id:
+            if not self._lora_banked:
+                raise ValueError(
+                    "lora_id requires a model with adapter banks "
+                    "(surgery.stack_adapters)"
+                )
+            if not 0 <= lora_id < self._n_adapters:
+                raise ValueError(
+                    f"lora_id {lora_id} out of range [0, {self._n_adapters})"
+                )
         r = Request(
             uid=next(self._uid),
             prompt=prompt,
@@ -739,6 +779,7 @@ class Engine:
             temperature=temperature,
             top_k=top_k,
             eos_token_id=eos_token_id,
+            lora_id=lora_id,
         )
         self.queue.append(r)
         self.requests[r.uid] = r
@@ -892,17 +933,21 @@ class Engine:
         slots_np = np.full((rows,), -1, np.int32)
         temps_np = np.zeros((rows,), np.float32)
         topks_np = np.zeros((rows,), np.int32)
+        lids_np = np.zeros((rows,), np.int32)
         for row, slot, req in assignments:
             n = len(req.prompt)
             toks[row, :n] = req.prompt
             lens[row] = n
             slots_np[row] = slot
+            lids_np[row] = req.lora_id
+            self.lora_ids[slot] = req.lora_id
             if req.temperature > 0:
                 temps_np[row] = req.temperature
                 topks_np[row] = req.top_k
         self._ensure_scratch(bucket)
         upto = min(bucket, self.max_len)
         self._key, sub = jax.random.split(self._key)
+        lids = jnp.asarray(lids_np) if self._lora_banked else None
         local = hasattr(self._backend, "prefill_commit")
         fused = local and not self.paged
         paged_fused = local and self.paged
@@ -911,7 +956,7 @@ class Engine:
                 jnp.asarray(toks), jnp.asarray(lens), self._scratch,
                 self.caches, jnp.asarray(slots_np), sub,
                 jnp.asarray(temps_np), jnp.asarray(topks_np), bucket, upto,
-                self.topk_cap if temps_np.any() else 0,
+                self.topk_cap if temps_np.any() else 0, lora_ids=lids,
             )
             first_np = np.asarray(first)  # the ONLY host fetch
         elif paged_fused:
@@ -929,11 +974,15 @@ class Engine:
                     jnp.asarray(toks), jnp.asarray(lens), self._scratch,
                     self.caches, jnp.asarray(blocks_np), sub,
                     jnp.asarray(temps_np), jnp.asarray(topks_np), bucket, nb,
-                    self.topk_cap if temps_np.any() else 0,
+                    self.topk_cap if temps_np.any() else 0, lora_ids=lids,
                 )
             )
             first_np = np.asarray(first)  # the ONLY host fetch
         else:
+            if self._lora_banked:
+                raise NotImplementedError(
+                    "banked LoRA serving is local-backend only"
+                )
             logits, self._scratch = self._backend.prefill(
                 jnp.asarray(toks), jnp.asarray(lens), bucket, self._scratch
             )
@@ -987,8 +1036,14 @@ class Engine:
         # index of the LAST REAL token within this chunk (clamped; only the
         # owning chunk's gather is kept)
         li = min(max(n - 1 - offset, 0), c - 1)
+        rows = self._backend.prefill_rows
+        lids = (
+            jnp.full((rows,), req.lora_id, jnp.int32)
+            if self._lora_banked else None
+        )
         logits, self._scratch = _prefill_chunk_step(
-            self.params, self.cfg, chunk, self._scratch, offset, jnp.int32(li)
+            self.params, self.cfg, chunk, self._scratch, offset,
+            jnp.int32(li), lora_ids=lids,
         )
         if offset <= n - 1 < offset + c:
             last_logits = logits
@@ -1010,6 +1065,7 @@ class Engine:
             self.caches = self._backend.insert_rows(
                 self.caches, self._scratch, jnp.int32(0), jnp.int32(slot), upto
             )
+        self.lora_ids[slot] = req.lora_id
         self.lengths[slot] = n
         self.next_token[slot] = tok
         self._commit(slot, tok)
@@ -1136,6 +1192,7 @@ class Engine:
             self._sync_tables()
         lengths = jnp.asarray(np.maximum(self.lengths, 1), jnp.int32)
         tokens = jnp.asarray(self.next_token[:, None], jnp.int32)
+        lids = jnp.asarray(self.lora_ids) if self._lora_banked else None
         if window > 1:
             self._key, sub = jax.random.split(self._key)
             temps = jnp.asarray(temps_np)
@@ -1148,6 +1205,7 @@ class Engine:
                         tok_d, len_d, self.caches, window, key_d, temps,
                         topks, sample=sample,
                         topk_cap=self.topk_cap if sample else 0,
+                        lora_ids=lids,
                     )
                 )
                 parts.append(toks)
@@ -1165,7 +1223,9 @@ class Engine:
             return
         # inactive slots decode garbage at a safe position; their output is
         # never committed and their cache rows are overwritten on reuse.
-        logits, self.caches = self._backend.decode(tokens, lengths, self.caches)
+        logits, self.caches = self._backend.decode(
+            tokens, lengths, self.caches, lora_ids=lids
+        )
         self._key, sub = jax.random.split(self._key)
         # one sampler for both cases (zero temps == greedy) so a sampling
         # fix can never make the single-step and windowed paths disagree

@@ -4,7 +4,7 @@ from eetq_tpu.surgery.fusion import (
     fuse_qkv,
     fuse_gateup,
 )
-from eetq_tpu.surgery.lora import attach_lora, init_lora, merge_lora
+from eetq_tpu.surgery.lora import attach_lora, init_lora, merge_lora, stack_adapters
 from eetq_tpu.surgery.quantize import eet_quantize, eet_accelerator
 from eetq_tpu.surgery.tp_reshard import (
     quantize_params_tp,
@@ -20,6 +20,7 @@ __all__ = [
     "attach_lora",
     "init_lora",
     "merge_lora",
+    "stack_adapters",
     "eet_quantize",
     "eet_accelerator",
     "quantize_params_tp",

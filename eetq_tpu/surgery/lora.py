@@ -108,3 +108,44 @@ def merge_lora(params: ModelParams) -> ModelParams:
         for lp in params.layers
     ]
     return dataclasses.replace(params, layers=layers)
+
+
+def stack_adapters(adapted: list[ModelParams]) -> ModelParams:
+    """Stack N separately-adapted copies of the SAME base model into one
+    multi-adapter model: every attached LoraAdapter's a/b gain a leading
+    [n_adapters] bank axis, selected per batch row at serve time via
+    `lora_idx` (modules.linear.linear_apply) / per request via
+    `Engine.add_request(lora_id=...)`.
+
+    This is the LoRAX hosting model the reference's LoRA machinery exists
+    to serve (reference `README.md:96-101`: one quantized base, many
+    per-request adapters): base weights are taken from adapted[0] (they
+    must be shared), adapters from all. All models must have adapters on
+    the same projections with the same rank and scaling."""
+    if not adapted:
+        raise ValueError("need at least one adapted model")
+    base = adapted[0]
+
+    def bank(get):
+        ads = [get(p) for p in adapted]
+        if any(a is None for a in ads):
+            if not all(a is None for a in ads):
+                raise ValueError("adapters must target the same projections")
+            return None
+        if len({a.scaling for a in ads}) != 1:
+            raise ValueError("bank adapters must share one scaling")
+        return LoraAdapter(
+            lora_a=jnp.stack([a.lora_a for a in ads]),
+            lora_b=jnp.stack([a.lora_b for a in ads]),
+            scaling=ads[0].scaling,
+        )
+
+    layers = [
+        dataclasses.replace(
+            lp,
+            qkv_lora=bank(lambda p, i=i: p.layers[i].qkv_lora),
+            o_lora=bank(lambda p, i=i: p.layers[i].o_lora),
+        )
+        for i, lp in enumerate(base.layers)
+    ]
+    return dataclasses.replace(base, layers=layers)

@@ -94,4 +94,20 @@ agree = np.mean([
     for a, b in zip(outs, outs2)
 ])
 print(f"first-4-token agreement adapter vs merged: {agree:.0%}")
+
+# 5. MULTI-adapter serving (the full LoRAX model): stack several adapted
+#    copies of the same base into one bank; each request picks its adapter
+#    by id. Adapter 0 below is the untouched no-op attach (base behavior).
+from eetq_tpu.surgery import stack_adapters
+
+noop = attach_lora(base, rank=8, key=jax.random.PRNGKey(3))
+bank = stack_adapters([noop, adapted])
+eng3 = Engine(bank, cfg, max_batch=2, max_len=128, prompt_buckets=(16,),
+              decode_window=4)
+u_base = eng3.add_request(prompts[0], 12, lora_id=0)
+u_tuned = eng3.add_request(prompts[0], 12, lora_id=1)
+eng3.run()
+print("same prompt, adapter 0 (base):", eng3.result(u_base))
+print("same prompt, adapter 1 (tuned):", eng3.result(u_tuned))
+assert eng3.result(u_tuned) == outs[0], "bank adapter 1 == single-adapter run"
 print("lora serving example OK")
