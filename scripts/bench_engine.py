@@ -22,7 +22,8 @@ Env: EETQ_BENCH_PRESET (llama2-7b), EETQ_ENGINE_BATCH (4),
      reports p50/p99 per-token latency — use with --preset mistral-7b for
      BASELINE config 4),
      EETQ_ENGINE_RATE (trace mode requests/sec; default sized to ~80%
-     of the measured static-batch throughput)
+     of the measured static-batch throughput),
+     EETQ_ENGINE_A8 (0; 1 = W8A8 prefill — int8-activation MXU path)
 Prints one JSON line with engine tok/s and the scanned-loop comparison.
 """
 
@@ -52,6 +53,11 @@ def make_engine(params, cfg, batch, max_len, buckets, window, paged,
         bs = min(256, -(-max_len // 128) * 128)
         blocks = 1 + batch * (-(-max_len // bs))
         kw = dict(paged_blocks=blocks, paged_block_size=bs)
+    if int(os.environ.get("EETQ_ENGINE_A8", 0)):
+        # W8A8 prefill (dynamic int8 activations on the s8xs8 MXU — 2x
+        # bf16 throughput; decode stays W8A16): the prefill-heavy serving
+        # lever, relevant in trace mode where TTFT dominates p99
+        kw["a8_prefill"] = True
     return Engine(
         params, cfg, max_batch=batch, max_len=max_len,
         prompt_buckets=buckets, decode_window=window,
@@ -206,6 +212,7 @@ def main():
             "p99_ms_per_token": round(p99, 2),
             "paged": paged,
             "temperature": temp,
+            "a8_prefill": bool(int(os.environ.get("EETQ_ENGINE_A8", 0))),
         }))
         return
 
@@ -254,6 +261,7 @@ def main():
         "engine_vs_loop": round(eng_tok_s / loop_tok_s, 4),
         "paged": paged,
         "temperature": temp,
+        "a8_prefill": bool(int(os.environ.get("EETQ_ENGINE_A8", 0))),
         # feed policy changed in r3 (was: one request per TWO scheduler
         # steps; now: one per free slot). Recorded so rows measured under
         # different arrival processes can't be conflated.
