@@ -193,3 +193,39 @@ def test_pp_validation():
                                 dtype=jnp.float32),
             bad_cfg, mesh, quantize=True,
         )
+
+
+def test_pp_with_dp_matches_single_device(dense_params):
+    """PP composes with DP: (dp=2, pp=2, tp=2) on 8 devices — the batch is
+    sharded over `data`, stages pipeline within each replica. Greedy
+    tokens must match the plain TP reference (per-shard quantization
+    identical; dp only splits the batch)."""
+    from eetq_tpu.dist import make_mesh, shard_model
+    from eetq_tpu.dist.sharding import make_forward_fn
+
+    prompt = _tokens(4, 8, seed=13)
+    new_tokens = 5
+    b, s = prompt.shape
+
+    mesh = make_pp_mesh(pp=2, tp=2, dp=2)
+    model = shard_model_pp(dense_params, CFG, mesh, quantize=True)
+    got = np.asarray(pp_generate(model, prompt, new_tokens, microbatches=2))
+
+    tmesh = make_mesh(tp=2, dp=1)
+    tmodel = shard_model(dense_params, CFG, tmesh, quantize=True)
+    fwd = make_forward_fn(tmodel)
+    caches = init_caches(CFG, b, s + new_tokens)
+    pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    logits, caches = fwd(tmodel.params, prompt, pos, caches, jnp.int32(0))
+    token = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    want = [token]
+    for i in range(new_tokens - 1):
+        p = jnp.full((b, 1), s + i, jnp.int32)
+        logits, caches = fwd(
+            tmodel.params, token[:, None], p, caches, jnp.int32(s + i)
+        )
+        token = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        want.append(token)
+    np.testing.assert_array_equal(
+        got, np.stack([np.asarray(t) for t in want], 1)
+    )
