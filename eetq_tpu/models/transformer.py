@@ -85,8 +85,13 @@ def decoder_layer(
     decode_kernel: bool | None = None,
     fused_mlp: bool | None = None,
     lora_idx: jax.Array | None = None,
+    verify: bool = False,
 ) -> tuple[jax.Array, KVCache | None]:
     """One decoder layer.
+
+    verify=True: the S > 1 tokens sit at a DYNAMIC offset and attend
+    causally over the cache prefix plus themselves (speculative-decoding
+    verify step; see modules.attention.attention_verify).
 
     lora_idx [B]: per-row adapter selection when the layer's adapters are
     BANKS (multi-adapter serving; see modules.linear.linear_apply).
@@ -137,7 +142,7 @@ def decoder_layer(
         k = rope(k, positions, cos_sin, interleaved=cfg.rope_interleaved)
     attn, cache = attention(
         q, k, v, cache, offset, window=cfg.sliding_window, use_flash=use_flash,
-        decode_kernel=decode_kernel, slopes=slopes,
+        decode_kernel=decode_kernel, slopes=slopes, verify=verify,
     )
     # NOTE: the kernel supports a fused residual epilogue
     # (gemm_bias_act_residual parity, fpA_intB_gemm_template.h:804), but on
@@ -195,6 +200,7 @@ def forward_inner(
     decode_kernel: bool | None = None,
     fused_mlp: bool | None = None,
     lora_idx: jax.Array | None = None,
+    verify: bool = False,
 ) -> tuple[jax.Array, list[KVCache] | None]:
     """Un-jitted forward body; called directly inside shard_map by
     eetq_tpu.dist (tp > 1) and via the jitted `forward` single-device."""
@@ -209,7 +215,7 @@ def forward_inner(
         x, cache_i = decoder_layer(
             layer, cfg, x, positions, cos_sin, cache_i, offset, use_flash,
             tp=tp, tp_axis=tp_axis, a8=a8, decode_kernel=decode_kernel,
-            fused_mlp=fused_mlp, lora_idx=lora_idx,
+            fused_mlp=fused_mlp, lora_idx=lora_idx, verify=verify,
         )
         if new_caches is not None:
             new_caches.append(cache_i)

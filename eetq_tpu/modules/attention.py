@@ -294,6 +294,49 @@ def attention_decode_ref(q, cache: KVCache, length, window, scale,
     return out.reshape(b, s, hq, d).astype(q.dtype)
 
 
+def attention_verify(q, cache: KVCache, length, window, scale,
+                     slopes: jax.Array | None = None):
+    """Multi-query decode ("verify") attention: q [B, S, Hq, D] with S > 1
+    tokens at DYNAMIC positions, query row i sitting at absolute position
+    length - S + i, attending causally over cache[:, :, :length].
+
+    This is the speculative-decoding verify step (and the 2-token draft
+    catch-up step): the S new tokens' K/V are already written to the cache
+    at [length-S, length), and each query must see the prefix plus the
+    drafts at or before its own position. `length` may be a scalar or a
+    per-row [B] vector (continuous batching). Unlike chunked prefill
+    (static offsets, one compile per chunk), positions here are traced —
+    one compile covers every loop iteration of a speculative decode."""
+    b, s, hq, d = q.shape
+    hkv, l = cache.k.shape[1], cache.max_len
+    group = hq // hkv
+    if cache.quantized:
+        k = _dequantize_kv(cache.k, cache.k_scale)
+        v = _dequantize_kv(cache.v, cache.v_scale)
+    else:
+        k, v = cache.k, cache.v
+    qg = q.reshape(b, s, hkv, group, d)
+    scores = jnp.einsum(
+        "bskgd,bkld->bkgsl", qg, k, preferred_element_type=jnp.float32
+    ) * scale  # [B, Hkv, G, S, L]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, l), 4)
+    lv = jnp.asarray(length, jnp.int32).reshape(-1, 1, 1, 1, 1)
+    # query row i at absolute position lv - s + i
+    qpos = lv - s + jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, s, 1), 3)
+    if slopes is not None:
+        dist = (pos - qpos).astype(jnp.float32)
+        scores = scores + slopes.astype(jnp.float32).reshape(
+            1, hkv, group, 1, 1
+        ) * dist
+    mask = pos <= qpos
+    if window is not None:
+        mask &= pos > qpos - window
+    scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgsl,bkld->bskgd", probs, v.astype(probs.dtype))
+    return out.reshape(b, s, hq, d).astype(q.dtype)
+
+
 def attention(
     q: jax.Array,
     k_new: jax.Array,
@@ -304,6 +347,7 @@ def attention(
     use_flash: bool = True,
     decode_kernel: bool | None = None,
     slopes: jax.Array | None = None,
+    verify: bool = False,
 ) -> tuple[jax.Array, KVCache | None]:
     """Unified entry: write K/V to cache at `offset`, attend appropriately.
 
@@ -332,6 +376,15 @@ def attention(
         return out, cache
     if cache is not None:
         cache = update_cache(cache, k_new, v_new, offset)
+    if verify and s > 1:
+        # Speculative-decode verify: S tokens at DYNAMIC offset (scalar or
+        # per-row), each query causally aligned to its own position.
+        assert cache is not None, "verify requires a KV cache"
+        out = attention_verify(
+            q, cache, jnp.asarray(offset, jnp.int32) + s, window,
+            1.0 / (q.shape[-1] ** 0.5), slopes=slopes,
+        )
+        return out, cache
     if s == 1:
         assert cache is not None, "decode requires a KV cache"
         out = attention_decode(

@@ -1,6 +1,7 @@
 from eetq_tpu.serve.generate import generate, greedy_generate
 from eetq_tpu.serve.eval import delta_ppl, perplexity
 from eetq_tpu.serve.engine import Engine, Request
+from eetq_tpu.serve.spec import ngram_spec_generate, spec_generate
 
 __all__ = [
     "generate",
@@ -9,4 +10,6 @@ __all__ = [
     "delta_ppl",
     "Engine",
     "Request",
+    "spec_generate",
+    "ngram_spec_generate",
 ]

@@ -1,0 +1,303 @@
+"""Speculative decoding: greedy-exact draft-and-verify generation.
+
+A beyond-reference throughput lever (the reference delegates generation to
+HF `transformers.generate`, `python/eetq/models/base.py:65-72`, and ships
+no speculative path). The TPU economics make it unusually attractive here:
+decode is weight-streaming-bound, so a verify forward over k+1 tokens at
+m = k+1 <= 8 rides the SAME decode-GEMV regime and costs roughly ONE decode
+step. Every accepted draft token is therefore nearly free target compute.
+
+Two draft sources:
+  * a draft model (`spec_generate`): any smaller/faster model sharing the
+    tokenizer — e.g. the W4A16 quantization of the same weights drafting
+    for the W8A16 target, or a truncated-layer draft.
+  * n-gram / prompt-lookup (`ngram_spec_generate`): draft-free — propose
+    the k tokens that followed the most recent occurrence of the current
+    bigram in the (prompt + generated) history. Zero draft cost means the
+    worst case degenerates to ~1 token per verify step ~= plain decode.
+
+Both run the WHOLE generation as one device-side `lax.while_loop` program
+(no per-round host involvement), are exact: the emitted sequence equals the
+target model's greedy decode token-for-token, and support per-row dynamic
+positions (rows accept different counts and drift apart, like continuous
+batching).
+
+Exactness caveat: "token-for-token" holds when the sequential decode uses
+the SAME attention numerics as the verify step (every other op in the
+m <= 8 verify forward — GEMV regime, fused MLP, prenorm — already takes
+the identical code path and config as the m = 1 decode step). With
+`decode_kernel=False` both paths use the XLA einsum oracle and the parity
+is bitwise (verified on hardware). Mixing implementations (flash-decode
+kernel for sequential steps, einsum for verify) can flip argmax on
+near-tied logits — real models have ~no ties; random-weight test models
+do.
+
+Mechanics per round (positions are absolute, per row; p = position of the
+last accepted-but-unprocessed token `last`):
+  1. draft catch-up: one 2-token verify-style step over [prev, last] at
+     positions p-1..p. Re-writing KV at p-1 is a harmless recompute; it
+     heals the one-row cache hole left when the previous round accepted
+     every draft (the draft never fed its own final proposal).
+  2. k-1 single draft decode steps -> drafts d_1..d_k.
+  3. ONE target forward over [last, d_1..d_{k-1}, d_k] at p..p+k with
+     `verify=True` attention (each query causally aligned to its own
+     dynamic position) -> greedy continuations g_0..g_k.
+  4. accept the longest prefix with d_i == g_{i-1}; emit d_1..d_a, g_a
+     (a+1 tokens, between 1 and k+1). Rejected rows' KV stay in the cache
+     but are masked by length and overwritten next round.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from eetq_tpu.models.transformer import forward_inner, init_caches
+from eetq_tpu.serve.generate import prefill
+
+
+def _verify_forward(params, cfg, tokens, start, caches, fused_mlp=None):
+    """tokens [B, S] at per-row positions start..start+S-1 (start [B]).
+    Returns (logits [B, S, V], caches)."""
+    s = tokens.shape[1]
+    positions = start[:, None] + jnp.arange(s, dtype=jnp.int32)[None]
+    return forward_inner(
+        params, cfg, tokens, positions, caches, start, verify=True,
+        fused_mlp=fused_mlp,
+    )
+
+
+def _accept_and_emit(drafts, g, t_in, last_col_limit, n, out, k):
+    """Greedy acceptance: longest prefix of drafts matching the target's
+    greedy continuations. Returns (new_last, new_prev, adv [B], out)."""
+    match = drafts == g[:, :k]
+    a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [0,k]
+    g_at_a = jnp.take_along_axis(g, a[:, None], axis=1)[:, 0]
+    j = jnp.arange(k + 1, dtype=jnp.int32)[None]
+    d_pad = jnp.concatenate([drafts, drafts[:, -1:]], axis=1)
+    em = jnp.where(j < a[:, None], d_pad, g_at_a[:, None])  # [B, k+1]
+
+    def wrow(o, e, idx):
+        return jax.lax.dynamic_update_slice(o, e, (idx,))
+
+    # frozen rows (n >= limit) write into the slack columns only
+    out = jax.vmap(wrow)(out, em, jnp.minimum(n, last_col_limit))
+    adv = jnp.where(n >= last_col_limit, 0, a + 1)
+    new_prev = jnp.take_along_axis(t_in, a[:, None], axis=1)[:, 0]
+    return g_at_a, new_prev, adv, a, out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg_t", "cfg_d", "num_steps", "k", "fused_mlp"),
+    donate_argnames=("t_caches", "d_caches"),
+)
+def spec_decode_loop(
+    t_params,
+    d_params,
+    cfg_t,
+    cfg_d,
+    first_token,  # [B] greedy token from the target's prefill logits
+    prev_token,  # [B] last prompt token (position start_pos - 1)
+    start_pos,  # scalar int: position of first_token
+    t_caches,
+    d_caches,
+    num_steps: int,
+    k: int = 7,
+    fused_mlp: bool | None = None,
+):
+    """Whole speculative decode as ONE compiled while_loop program.
+
+    Returns (tokens [B, num_steps] — exactly the target's greedy sequence,
+    first_token included — plus stats (rounds, accepted-draft total))."""
+    b = first_token.shape[0]
+    width = num_steps + k + 1  # slack so frozen rows scribble out of range
+    out0 = jnp.zeros((b, width), jnp.int32).at[:, 0].set(first_token)
+    n0 = jnp.ones((b,), jnp.int32)
+    start = jnp.asarray(start_pos, jnp.int32)
+
+    def cond(carry):
+        return jnp.any(carry[2] < num_steps)
+
+    def body(carry):
+        last, prev, n, out, t_caches, d_caches, rounds, acc = carry
+        p = start + n - 1  # [B] position of `last`
+
+        # 1. draft catch-up: [prev, last] at p-1..p (rewrites KV at p-1)
+        toks2 = jnp.stack([prev, last], axis=1)
+        logits2, d_caches = _verify_forward(
+            d_params, cfg_d, toks2, p - 1, d_caches, fused_mlp=fused_mlp
+        )
+        d1 = jnp.argmax(logits2[:, -1, :], -1).astype(jnp.int32)
+
+        # 2. k-1 single draft steps
+        def dstep(c, i):
+            tok, caches = c
+            pos = p + i
+            lg, caches = forward_inner(
+                d_params, cfg_d, tok[:, None], pos[:, None], caches, pos,
+                fused_mlp=fused_mlp,
+            )
+            return (jnp.argmax(lg[:, -1, :], -1).astype(jnp.int32), caches), tok
+
+        (d_last, d_caches), d_hist = jax.lax.scan(
+            dstep, (d1, d_caches), jnp.arange(1, k, dtype=jnp.int32)
+        )
+        drafts = jnp.concatenate([d_hist.T, d_last[:, None]], axis=1)  # [B,k]
+
+        # 3. verify: one target forward over [last, d_1..d_k] at p..p+k
+        t_in = jnp.concatenate([last[:, None], drafts], axis=1)
+        logits, t_caches = _verify_forward(
+            t_params, cfg_t, t_in, p, t_caches, fused_mlp=fused_mlp
+        )
+        g = jnp.argmax(logits, -1).astype(jnp.int32)  # [B, k+1]
+
+        # 4. accept + emit
+        last, prev, adv, a, out = _accept_and_emit(
+            drafts, g, t_in, num_steps, n, out, k
+        )
+        acc = acc + jnp.sum(jnp.where(n >= num_steps, 0, a))
+        return (last, prev, n + adv, out, t_caches, d_caches, rounds + 1, acc)
+
+    carry = (
+        first_token, prev_token, n0, out0, t_caches, d_caches,
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+    )
+    _, _, _, out, _, _, rounds, acc = jax.lax.while_loop(cond, body, carry)
+    return out[:, :num_steps], (rounds, acc)
+
+
+def spec_generate(
+    t_params,
+    cfg_t,
+    d_params,
+    cfg_d,
+    prompt: jax.Array,  # [B, S] int32
+    max_new_tokens: int,
+    k: int = 7,
+    kv_dtype=jnp.bfloat16,
+    fused_mlp: bool | None = None,
+    return_stats: bool = False,
+):
+    """Greedy speculative generation with a draft model. Output is exactly
+    `greedy_generate(t_params, cfg_t, prompt, max_new_tokens)`. k=7 keeps
+    the verify step at m=8, the top of the decode-GEMV regime."""
+    b, s = prompt.shape
+    max_len = s + max_new_tokens + 2 * k + 1  # slack for frozen-row writes
+    t_caches = init_caches(cfg_t, b, max_len, dtype=kv_dtype)
+    d_caches = init_caches(cfg_d, b, max_len, dtype=kv_dtype)
+    t_logits, t_caches = prefill(t_params, cfg_t, prompt, t_caches)
+    _, d_caches = prefill(d_params, cfg_d, prompt, d_caches)
+    first = jnp.argmax(t_logits, -1).astype(jnp.int32)
+    toks, stats = spec_decode_loop(
+        t_params, d_params, cfg_t, cfg_d, first, prompt[:, -1], s,
+        t_caches, d_caches, max_new_tokens, k=k, fused_mlp=fused_mlp,
+    )
+    if return_stats:
+        return toks, {"rounds": int(stats[0]), "accepted_drafts": int(stats[1])}
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# n-gram (prompt-lookup) drafting: no draft model at all.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_steps", "k", "fused_mlp"),
+    donate_argnames=("caches",),
+)
+def ngram_spec_decode_loop(
+    params,
+    cfg,
+    prompt,  # [B, S] — matched against as history
+    first_token,
+    start_pos,
+    caches,
+    num_steps: int,
+    k: int = 7,
+    fused_mlp: bool | None = None,
+):
+    """Prompt-lookup speculative decode: drafts come from matching the
+    current bigram against the prompt + generated history (device-side).
+    Worst case (no matches) still emits 1 token per verify — and a verify
+    costs about one decode step, so this never loses materially."""
+    b, s = prompt.shape
+    width = num_steps + k + 1
+    out0 = jnp.zeros((b, width), jnp.int32).at[:, 0].set(first_token)
+    start = jnp.asarray(start_pos, jnp.int32)
+    hist_len = s + width
+
+    def cond(carry):
+        return jnp.any(carry[1] < num_steps)
+
+    def body(carry):
+        last, n, out, caches, rounds, acc = carry
+        p = start + n - 1
+        hist = jnp.concatenate([prompt, out], axis=1)  # [B, s + width]
+        valid = s + n  # [B] tokens of real history (incl. `last`)
+
+        # most recent index t with hist[t-1] == prev-of-gram, hist[t] == last
+        # (t indexes `last`'s candidate twin; the draft is hist[t+1 : t+1+k])
+        prev = jax.vmap(lambda h, i: h[i])(hist, valid - 2)
+        idx = jnp.arange(hist_len, dtype=jnp.int32)[None]
+        m = (
+            (hist == last[:, None])
+            & (jnp.roll(hist, 1, axis=1) == prev[:, None])
+            & (idx >= 1)
+            & (idx < (valid - 1)[:, None])  # strictly before `last` itself
+        )
+        t = jnp.max(jnp.where(m, idx, -1), axis=1)  # [B]; -1 = no match
+
+        def drow(h, ti):
+            return jax.lax.dynamic_slice(h, (jnp.maximum(ti, 0) + 1,), (k,))
+
+        drafts = jax.vmap(drow)(hist, t)  # garbage when t == -1: rejected
+
+        t_in = jnp.concatenate([last[:, None], drafts], axis=1)
+        logits, caches = _verify_forward(
+            params, cfg, t_in, p, caches, fused_mlp=fused_mlp
+        )
+        g = jnp.argmax(logits, -1).astype(jnp.int32)
+
+        last, _, adv, a, out = _accept_and_emit(
+            drafts, g, t_in, num_steps, n, out, k
+        )
+        acc = acc + jnp.sum(jnp.where(n >= num_steps, 0, a))
+        return (last, n + adv, out, caches, rounds + 1, acc)
+
+    carry = (
+        first_token, jnp.ones((b,), jnp.int32), out0, caches,
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+    )
+    _, _, out, _, rounds, acc = jax.lax.while_loop(cond, body, carry)
+    return out[:, :num_steps], (rounds, acc)
+
+
+def ngram_spec_generate(
+    params,
+    cfg,
+    prompt: jax.Array,
+    max_new_tokens: int,
+    k: int = 7,
+    kv_dtype=jnp.bfloat16,
+    fused_mlp: bool | None = None,
+    return_stats: bool = False,
+):
+    """Greedy prompt-lookup speculative generation (draft-free). Output is
+    exactly the target's greedy decode."""
+    b, s = prompt.shape
+    max_len = s + max_new_tokens + 2 * k + 1
+    caches = init_caches(cfg, b, max_len, dtype=kv_dtype)
+    logits, caches = prefill(params, cfg, prompt, caches)
+    first = jnp.argmax(logits, -1).astype(jnp.int32)
+    toks, stats = ngram_spec_decode_loop(
+        params, cfg, prompt, first, s, caches, max_new_tokens, k=k,
+        fused_mlp=fused_mlp,
+    )
+    if return_stats:
+        return toks, {"rounds": int(stats[0]), "accepted_drafts": int(stats[1])}
+    return toks

@@ -36,7 +36,12 @@ def run(preset: str, batch: int, bits: int | None,
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
         err = out.stderr[-2000:]
-        if "RESOURCE_EXHAUSTED" in out.stderr or "out of memory" in err.lower():
+        # XLA reports OOM several ways: RESOURCE_EXHAUSTED, "out of
+        # memory", or (when buffer assignment fails at compile time) an
+        # "Allocation type: HLO temp" buffer dump.
+        oom_marks = ("RESOURCE_EXHAUSTED", "out of memory",
+                     "Allocation type:", "exceeds the limit")
+        if any(m in out.stderr or m.lower() in err.lower() for m in oom_marks):
             print(f"OOM at batch={batch} bits={bits}", file=sys.stderr)
             return None  # memory limit reached — the sweep's stop signal
         print(err, file=sys.stderr)
