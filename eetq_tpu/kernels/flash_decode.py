@@ -51,7 +51,15 @@ def _fd_kernel(
     #       [slopes(SMEM)], out, m, l, acc
     *refs,
     paged: bool = False,
+    sq: int = 1,
 ):
+    # sq > 1 = MULTI-QUERY (speculative-decode verify): the "group" axis of
+    # q/out carries G*sq rows per kv head, query row (gg, ii) sits at
+    # absolute position length - sq + ii, and masks are per-row causal.
+    # The sq == 1 path is bit-for-bit untouched (same mask set, no extra
+    # ops), and each verify row sees the same block schedule and per-row
+    # accumulation order as a single-token call at its own length — so
+    # verify logits are BITWISE equal to sequential decode logits.
     refs = list(refs)
     len_ref = refs.pop(0)
     if paged:
@@ -85,13 +93,15 @@ def _fd_kernel(
     hi = pl.program_id(1)
     li = pl.program_id(2)
     length = len_ref[b]
-    g = q_ref.shape[2]
+    g = q_ref.shape[2]  # rows per kv head = (q group) * sq
+    gq = g // sq  # true GQA group size
     if alibi:
-        # q head index of (kv head t, group row gg) = (hi*bh + t)*g + gg;
+        # q head index of (kv head t, group row gg) = (hi*bh + t)*gq + gg;
         # read at trace top level (program_id doesn't lower inside pl.when
-        # closures in interpret mode)
+        # closures in interpret mode). Multi-query rows (gg, ii) share the
+        # head's slope.
         slopes_all = [
-            [slopes_ref[0, (hi * bh + t) * g + gg] for gg in range(g)]
+            [slopes_ref[0, (hi * bh + t) * gq + gg] for gg in range(gq)]
             for t in range(bh)
         ]
 
@@ -104,7 +114,8 @@ def _fd_kernel(
     block_start = li * bl
     should_run = block_start < length
     if window is not None:
-        should_run &= block_start + bl - 1 >= length - window
+        # earliest row's window start: (length - sq) - window + 1
+        should_run &= block_start + bl - 1 >= length - (sq - 1) - window
 
     @pl.when(should_run)
     def _run():
@@ -123,9 +134,19 @@ def _fd_kernel(
             jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // g
         )
         col = block_start + (jlane - (jlane // bl) * bl)  # cache position
-        mask = own & (col < length)
-        if window is not None:
-            mask &= col >= length - window
+        if sq == 1:
+            mask = own & (col < length)
+            if window is not None:
+                mask &= col >= length - window
+        else:
+            # per-row causal: row (t, gg, ii) queries position length-sq+ii
+            ii = (
+                jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) % sq
+            )
+            qpos = length - sq + ii
+            mask = own & (col <= qpos)
+            if window is not None:
+                mask &= col > qpos - window
         kb = (kv(k_ref, slice(None))).reshape(cols, d)
         vb = (kv(v_ref, slice(None))).reshape(cols, d)
         if quantized:
@@ -151,9 +172,15 @@ def _fd_kernel(
             s = s * ks_full.astype(jnp.float32)
         if alibi:
             sl = jnp.stack(
-                [slopes_all[t][gg] for t in range(bh) for gg in range(g)]
-            )  # [rows]; query sits at position length-1
-            s = s + sl[:, None] * (col - (length - 1)).astype(jnp.float32)
+                [
+                    slopes_all[t][gg]
+                    for t in range(bh)
+                    for gg in range(gq)
+                    for _ in range(sq)
+                ]
+            )  # [rows]; row (t, gg, ii) queries position length-sq+ii
+            qp = (length - 1) if sq == 1 else qpos
+            s = s + sl[:, None] * (col - qp).astype(jnp.float32)
         s = jnp.where(mask, s, MASK_VALUE)
 
         r = slice(0, rows)
@@ -162,6 +189,13 @@ def _fd_kernel(
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])
         p = jnp.exp(s - m_next[:, :1])
+        if sq > 1:
+            # a visited block can be FULLY masked for some rows (their
+            # window starts later / their qpos is earlier); if such a row
+            # has no data yet, m_next == MASK_VALUE and exp(0) would
+            # inject 1s — force masked entries to exact 0. (The sq == 1
+            # guard schedule can't hit this; path left untouched.)
+            p = jnp.where(mask, p, 0.0)
         l_ref[r] = l_ref[r] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         m_ref[r] = m_next
         if quantized:
@@ -310,17 +344,26 @@ def flash_decode(
     interpret: bool | None = None,
     slopes: jax.Array | None = None,
 ) -> jax.Array:
-    """q: [B, 1, Hq, D]; cache: modules.attention.KVCache ([B, Hkv, L, D]);
-    length: scalar or [B] valid-entry counts. slopes [Hq] f32 enables the
-    ALiBi position bias. Returns [B, 1, Hq, D].
+    """q: [B, S, Hq, D]; cache: modules.attention.KVCache ([B, Hkv, L, D]);
+    length: scalar or [B] valid-entry counts INCLUDING the S new tokens.
+    slopes [Hq] f32 enables the ALiBi position bias. Returns [B, S, Hq, D].
+
+    S == 1 is the decode step. S > 1 is the MULTI-QUERY verify step
+    (speculative decoding): query row i sits at position length - S + i
+    with per-row causal masking, and — because the block schedule (bl, bh)
+    is chosen identically to the S == 1 call on the same cache and each
+    row's online-softmax accumulation order matches — its output is
+    BITWISE equal to a single-token call at length - S + i + 1.
 
     Falls back to the XLA oracle when the cache length isn't block-aligned
     (init_kv_cache rounds allocations to 128, so this is rare).
     """
-    from eetq_tpu.modules.attention import attention_decode_ref
+    from eetq_tpu.modules.attention import (
+        attention_decode_ref,
+        attention_verify_ref,
+    )
 
     b, s, hq, d = q.shape
-    assert s == 1, "flash_decode is the single-token path"
     hkv, lmax = cache.k.shape[1], cache.k.shape[2]
     group = hq // hkv
     if scale is None:
@@ -345,6 +388,10 @@ def flash_decode(
     divisors = [c for c in range(step, min(4 * block_l, lmax) + 1, step)
                 if lmax % c == 0]
     if not divisors:
+        if s > 1:
+            return attention_verify_ref(
+                q, cache, length, window, scale, slopes=slopes
+            )
         return attention_decode_ref(
             q, cache, length, window, scale, slopes=slopes
         )
@@ -375,7 +422,13 @@ def flash_decode(
     nh = hkv // bh
 
     lengths = jnp.broadcast_to(jnp.asarray(length, jnp.int32).reshape(-1), (b,))
-    qg = q[:, 0].reshape(b, hkv, group, d)
+    # row layout per kv head: (group member, query index) — query index
+    # fastest, matching the kernel's row->qpos mapping
+    qg = (
+        q.reshape(b, s, hkv, group, d)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(b, hkv, group * s, d)
+    )
 
     def kv_map(bb, h, li, lens):
         # clamp the L-block index to the last VALID block for this row:
@@ -384,7 +437,9 @@ def flash_decode(
         return bb, h, jnp.minimum(li, jnp.maximum(lens[bb] - 1, 0) // bl), 0
 
     in_specs = [
-        pl.BlockSpec((1, bh, group, d), lambda bb, h, li, lens: (bb, h, 0, 0)),
+        pl.BlockSpec(
+            (1, bh, group * s, d), lambda bb, h, li, lens: (bb, h, 0, 0)
+        ),
         pl.BlockSpec((1, bh, bl, d), kv_map),
         pl.BlockSpec((1, bh, bl, d), kv_map),
     ]
@@ -414,9 +469,9 @@ def flash_decode(
         operands.append(slopes.astype(jnp.float32).reshape(1, hq))
 
     kernel = functools.partial(
-        _fd_kernel, nl, bl, bh, scale, window, quantized, alibi
+        _fd_kernel, nl, bl, bh, scale, window, quantized, alibi, sq=s
     )
-    srows = max(bh * group, 8)
+    srows = max(bh * group * s, 8)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -424,7 +479,7 @@ def flash_decode(
             grid=(b, nh, nl),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, bh, group, d), lambda bb, h, li, lens: (bb, h, 0, 0)
+                (1, bh, group * s, d), lambda bb, h, li, lens: (bb, h, 0, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((srows, 128), jnp.float32),  # running max
@@ -432,10 +487,14 @@ def flash_decode(
                 pltpu.VMEM((srows, d), jnp.float32),    # output accumulator
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, group * s, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(lengths, *operands)
-    return out.reshape(b, 1, hq, d)
+    return (
+        out.reshape(b, hkv, group, s, d)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(b, s, hq, d)
+    )

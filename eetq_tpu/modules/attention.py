@@ -295,7 +295,8 @@ def attention_decode_ref(q, cache: KVCache, length, window, scale,
 
 
 def attention_verify(q, cache: KVCache, length, window, scale,
-                     slopes: jax.Array | None = None):
+                     slopes: jax.Array | None = None,
+                     use_kernel: bool | None = None):
     """Multi-query decode ("verify") attention: q [B, S, Hq, D] with S > 1
     tokens at DYNAMIC positions, query row i sitting at absolute position
     length - S + i, attending causally over cache[:, :, :length].
@@ -306,7 +307,27 @@ def attention_verify(q, cache: KVCache, length, window, scale,
     drafts at or before its own position. `length` may be a scalar or a
     per-row [B] vector (continuous batching). Unlike chunked prefill
     (static offsets, one compile per chunk), positions here are traced —
-    one compile covers every loop iteration of a speculative decode."""
+    one compile covers every loop iteration of a speculative decode.
+
+    Dispatch mirrors attention_decode: the flash-decode kernel (multi-query
+    mode) on TPU, the einsum oracle elsewhere — so per-row verify logits
+    are BITWISE equal to the sequential decode path's logits on both
+    backends (the greedy-exactness guarantee of serve.spec)."""
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if use_kernel:
+        from eetq_tpu.kernels.flash_decode import flash_decode
+
+        return flash_decode(
+            q, cache, length, window=window, scale=scale, slopes=slopes
+        )
+    return attention_verify_ref(q, cache, length, window, scale,
+                                slopes=slopes)
+
+
+def attention_verify_ref(q, cache: KVCache, length, window, scale,
+                         slopes: jax.Array | None = None):
+    """XLA einsum oracle for multi-query verify attention."""
     b, s, hq, d = q.shape
     hkv, l = cache.k.shape[1], cache.max_len
     group = hq // hkv
@@ -383,6 +404,7 @@ def attention(
         out = attention_verify(
             q, cache, jnp.asarray(offset, jnp.int32) + s, window,
             1.0 / (q.shape[-1] ** 0.5), slopes=slopes,
+            use_kernel=decode_kernel,
         )
         return out, cache
     if s == 1:
