@@ -60,6 +60,10 @@ class Request:
     lora_id: int = 0  # adapter index when the model carries LoRA banks
     out_tokens: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    # streaming: callback fired per committed token, and the poll cursor
+    # (index into out_tokens of the first not-yet-polled token)
+    on_token: object = None
+    polled: int = 0
 
 
 @functools.partial(
@@ -607,6 +611,7 @@ class Engine:
         paged_block_size: int = 256,
         topk_cap: int = 64,
         max_chain: int = 8,
+        spec_ngram: int | None = None,
     ):
         # `params` may be a plain ModelParams (with cfg) or a TP/DP-sharded
         # model (eetq_tpu.dist.ShardedModel; cfg comes from it).
@@ -708,6 +713,25 @@ class Engine:
         if decode_window is None:
             decode_window = 8 if jax.default_backend() == "tpu" else 1
         self.decode_window = max(1, decode_window)
+        # spec_ngram=k: decode windows run n-gram (prompt-lookup)
+        # SPECULATIVE rounds instead of sequential steps — each verify
+        # forward over k+1 tokens rides the m<=8 decode-GEMV regime and
+        # costs ~one decode step, so every accepted draft token is nearly
+        # free (serve/spec.py). Greedy-exact; greedy requests only.
+        self.spec_ngram = spec_ngram
+        if spec_ngram is not None:
+            if not 1 <= spec_ngram <= 7:
+                raise ValueError("spec_ngram must be in [1, 7] (the k+1-"
+                                 "token verify must stay in the m<=8 "
+                                 "decode regime)")
+            if self.paged:
+                raise ValueError("spec_ngram is dense-cache only for now")
+            if isinstance(self._backend, _ShardedBackend):
+                raise ValueError("spec_ngram is local-backend only for now")
+            if self._lora_banked:
+                raise ValueError(
+                    "spec_ngram does not compose with banked LoRA yet"
+                )
         # prefill_chunk: prompts whose bucket exceeds this prefill one
         # chunk per scheduler step (decode advances BETWEEN chunks —
         # bounded head-of-line latency for running slots). Local backend
@@ -745,6 +769,7 @@ class Engine:
         top_k: int = 0,
         eos_token_id: int | None = None,
         lora_id: int = 0,
+        on_token=None,
     ) -> int:
         prompt = [int(t) for t in np.asarray(prompt).ravel()]
         if not prompt:
@@ -756,6 +781,12 @@ class Engine:
             )
         if top_k >= self.cfg.vocab_size:
             top_k = 0  # filtering the whole vocab is a no-op
+        if temperature > 0 and self.spec_ngram is not None:
+            raise ValueError(
+                "spec_ngram engines serve greedy requests only (draft "
+                "acceptance is exact-match; use a non-spec Engine for "
+                "sampling)"
+            )
         if temperature > 0 and top_k > self.topk_cap:
             raise ValueError(
                 f"top_k {top_k} exceeds the engine's topk_cap "
@@ -780,6 +811,7 @@ class Engine:
             top_k=top_k,
             eos_token_id=eos_token_id,
             lora_id=lora_id,
+            on_token=on_token,
         )
         self.queue.append(r)
         self.requests[r.uid] = r
@@ -790,6 +822,17 @@ class Engine:
         if not r.done:
             raise ValueError(f"request {uid} not finished")
         return r.out_tokens
+
+    def poll(self, uid: int) -> tuple[list[int], bool]:
+        """Incremental streaming fetch: tokens committed since the last
+        poll for this request, plus whether it has finished. Tokens arrive
+        in decode-window bursts (the engine fetches from the device once
+        per window/chain), so callers should poll between `step()` calls
+        rather than expect one token per poll."""
+        r = self.requests[uid]
+        new = r.out_tokens[r.polled:]
+        r.polled = len(r.out_tokens)
+        return new, r.done
 
     def warmup(self, temperature: float = 0.0) -> None:
         """Pre-compile every program the serving loop can hit, BEFORE real
@@ -1074,6 +1117,8 @@ class Engine:
         """Append a sampled token to the slot's request; retire if done."""
         req = self.slot_req[slot]
         req.out_tokens.append(tok)
+        if req.on_token is not None:
+            req.on_token(req.uid, tok)
         hit_eos = req.eos_token_id is not None and tok == req.eos_token_id
         if hit_eos or len(req.out_tokens) >= req.max_new_tokens:
             req.done = True
@@ -1081,6 +1126,46 @@ class Engine:
             self.lengths[slot] = 0
             if self.paged:
                 self._release_blocks(slot)
+
+    def _spec_decode_window(self, active: list[int], window: int) -> None:
+        """Advance all active slots by one SPECULATIVE decode window:
+        device-side n-gram rounds until every row has emitted >= window
+        tokens (serve.spec.ngram_spec_window), then commit per-row counts.
+        The history each row's drafts match against is its own committed
+        prompt + output — rebuilt host-side per window from the Request
+        (cheap: one [B, H] int32 upload riding the dispatch)."""
+        from eetq_tpu.serve.spec import ngram_spec_window
+
+        k = self.spec_ngram
+        hist_len = self.max_len + window + 2 * k + 2
+        hist = np.zeros((self.max_batch, hist_len), np.int32)
+        valid = np.full((self.max_batch,), 2, np.int32)
+        for i in active:
+            req = self.slot_req[i]
+            toks = req.prompt + req.out_tokens
+            hist[i, : len(toks)] = toks
+            valid[i] = len(toks)  # == lengths[i] + 1
+        out, counts, self.caches, _rounds = ngram_spec_window(
+            self.params,
+            self.cfg,
+            jnp.asarray(hist),
+            jnp.asarray(valid),
+            jnp.asarray(self.next_token),
+            jnp.asarray(np.maximum(self.lengths, 1), jnp.int32),
+            self.caches,
+            window,
+            k,
+        )
+        out_np = np.asarray(out)  # the window's single host fetch
+        counts_np = np.asarray(counts)
+        for i in active:
+            for j in range(int(counts_np[i])):
+                if self.slot_req[i] is None:
+                    break  # finished mid-window; rest is garbage
+                t = int(out_np[i, j])
+                self.lengths[i] += 1
+                self.next_token[i] = t
+                self._commit(i, t)
 
     def step(self) -> None:
         """One scheduler step: admit queued requests into free slots (one
@@ -1150,6 +1235,13 @@ class Engine:
             not self.queue or self._free_slot() is None
         ):
             window = self.decode_window
+        if self.spec_ngram is not None and window > 1:
+            # speculative decode window: n-gram drafts + one multi-token
+            # verify per round instead of sequential steps (greedy-exact;
+            # window=1 rounds fall through to the plain step — a verify
+            # would cost the same round-trip for no amortization)
+            self._spec_decode_window(active, window)
+            return
         # per-slot sampling params ([B] vectors; inactive slots greedy)
         temps_np = np.zeros((self.max_batch,), np.float32)
         topks_np = np.zeros((self.max_batch,), np.int32)

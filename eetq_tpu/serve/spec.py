@@ -71,7 +71,9 @@ def _verify_forward(params, cfg, tokens, start, caches, fused_mlp=None):
 
 def _accept_and_emit(drafts, g, t_in, last_col_limit, n, out, k):
     """Greedy acceptance: longest prefix of drafts matching the target's
-    greedy continuations. Returns (new_last, new_prev, adv [B], out)."""
+    greedy continuations. Returns (new_last, new_prev, adv [B], a [B],
+    out, em [B, k+1] — the emitted block, real only in its first adv
+    columns)."""
     match = drafts == g[:, :k]
     a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [0,k]
     g_at_a = jnp.take_along_axis(g, a[:, None], axis=1)[:, 0]
@@ -86,7 +88,7 @@ def _accept_and_emit(drafts, g, t_in, last_col_limit, n, out, k):
     out = jax.vmap(wrow)(out, em, jnp.minimum(n, last_col_limit))
     adv = jnp.where(n >= last_col_limit, 0, a + 1)
     new_prev = jnp.take_along_axis(t_in, a[:, None], axis=1)[:, 0]
-    return g_at_a, new_prev, adv, a, out
+    return g_at_a, new_prev, adv, a, out, em
 
 
 @functools.partial(
@@ -155,7 +157,7 @@ def spec_decode_loop(
         g = jnp.argmax(logits, -1).astype(jnp.int32)  # [B, k+1]
 
         # 4. accept + emit
-        last, prev, adv, a, out = _accept_and_emit(
+        last, prev, adv, a, out, _ = _accept_and_emit(
             drafts, g, t_in, num_steps, n, out, k
         )
         acc = acc + jnp.sum(jnp.where(n >= num_steps, 0, a))
@@ -205,6 +207,29 @@ def spec_generate(
 # ---------------------------------------------------------------------------
 
 
+def _ngram_match(hist, valid, last, k: int):
+    """Per-row prompt-lookup draft: the k tokens that followed the most
+    recent occurrence of the current bigram (hist[valid-2], last) in
+    hist[:valid-1]. hist [B, H]; valid [B] counts real tokens INCLUDING
+    `last` (== hist[:, valid-1]). Returns drafts [B, k] (garbage rows
+    where no match exists — the verify step rejects them)."""
+    hist_len = hist.shape[1]
+    prev = jax.vmap(lambda h, i: h[i])(hist, jnp.maximum(valid - 2, 0))
+    idx = jnp.arange(hist_len, dtype=jnp.int32)[None]
+    m = (
+        (hist == last[:, None])
+        & (jnp.roll(hist, 1, axis=1) == prev[:, None])
+        & (idx >= 1)
+        & (idx < (valid - 1)[:, None])  # strictly before `last` itself
+    )
+    t = jnp.max(jnp.where(m, idx, -1), axis=1)  # [B]; -1 = no match
+
+    def drow(h, ti):
+        return jax.lax.dynamic_slice(h, (jnp.maximum(ti, 0) + 1,), (k,))
+
+    return jax.vmap(drow)(hist, t)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_steps", "k", "fused_mlp"),
@@ -239,23 +264,7 @@ def ngram_spec_decode_loop(
         p = start + n - 1
         hist = jnp.concatenate([prompt, out], axis=1)  # [B, s + width]
         valid = s + n  # [B] tokens of real history (incl. `last`)
-
-        # most recent index t with hist[t-1] == prev-of-gram, hist[t] == last
-        # (t indexes `last`'s candidate twin; the draft is hist[t+1 : t+1+k])
-        prev = jax.vmap(lambda h, i: h[i])(hist, valid - 2)
-        idx = jnp.arange(hist_len, dtype=jnp.int32)[None]
-        m = (
-            (hist == last[:, None])
-            & (jnp.roll(hist, 1, axis=1) == prev[:, None])
-            & (idx >= 1)
-            & (idx < (valid - 1)[:, None])  # strictly before `last` itself
-        )
-        t = jnp.max(jnp.where(m, idx, -1), axis=1)  # [B]; -1 = no match
-
-        def drow(h, ti):
-            return jax.lax.dynamic_slice(h, (jnp.maximum(ti, 0) + 1,), (k,))
-
-        drafts = jax.vmap(drow)(hist, t)  # garbage when t == -1: rejected
+        drafts = _ngram_match(hist, valid, last, k)
 
         t_in = jnp.concatenate([last[:, None], drafts], axis=1)
         logits, caches = _verify_forward(
@@ -263,7 +272,7 @@ def ngram_spec_decode_loop(
         )
         g = jnp.argmax(logits, -1).astype(jnp.int32)
 
-        last, _, adv, a, out = _accept_and_emit(
+        last, _, adv, a, out, _ = _accept_and_emit(
             drafts, g, t_in, num_steps, n, out, k
         )
         acc = acc + jnp.sum(jnp.where(n >= num_steps, 0, a))
@@ -275,6 +284,76 @@ def ngram_spec_decode_loop(
     )
     _, _, out, _, rounds, acc = jax.lax.while_loop(cond, body, carry)
     return out[:, :num_steps], (rounds, acc)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "window", "k", "fused_mlp"),
+    donate_argnames=("caches",),
+)
+def ngram_spec_window(
+    params,
+    cfg,
+    hist,  # [B, H] committed history per row (prompt + outputs, padded)
+    valid,  # [B] real tokens in hist, INCLUDING the pending `last`
+    last,  # [B] last committed token; its KV is NOT yet cached
+    lengths,  # [B] cached KV count per row == `last`'s position
+    caches,
+    window: int,
+    k: int = 7,
+    fused_mlp: bool | None = None,
+):
+    """One ENGINE decode window of n-gram speculative rounds (the
+    continuous-batching counterpart of `ngram_spec_decode_loop`).
+
+    Engine invariant preserved: on entry each row's cache holds KV for
+    positions [0, lengths); `last` is pending at position `lengths`. The
+    loop runs verify rounds until every row has emitted >= window tokens
+    (each round emits >= 1/row, so it terminates in <= window rounds),
+    then reports exactly c = min(emitted, window) tokens per row.
+    Overshoot beyond `window` is DISCARDED (its KV is stale-but-masked
+    and recomputed next window), so the commit semantics match the plain
+    decode window: lengths += c, next last = out[c-1].
+
+    Returns (out [B, window], counts [B], caches, rounds)."""
+    b, hist_len = hist.shape
+    width = window + k + 1  # frozen rows scribble into the slack columns
+    out0 = jnp.zeros((b, width), jnp.int32)
+    valid = jnp.maximum(valid, 2)  # inactive engine slots: safe indices
+
+    def cond(carry):
+        return jnp.any(carry[1] < window)
+
+    def body(carry):
+        last, m, out, hist, valid, caches, rounds = carry
+        drafts = _ngram_match(hist, valid, last, k)
+        t_in = jnp.concatenate([last[:, None], drafts], axis=1)
+        logits, caches = _verify_forward(
+            params, cfg, t_in, lengths + m, caches, fused_mlp=fused_mlp
+        )
+        g = jnp.argmax(logits, -1).astype(jnp.int32)
+        last, _, adv, a, out, em = _accept_and_emit(
+            drafts, g, t_in, window, m, out, k
+        )
+
+        # append this round's emitted tokens to the device-side history so
+        # later rounds can match against them; frozen rows (adv == 0)
+        # rewrite garbage at their stale `valid` cursor, which is beyond
+        # every index the matcher reads (< valid - 1) — harmless
+        def hrow(h, e, at):
+            return jax.lax.dynamic_update_slice(h, e, (at,))
+
+        hist = jax.vmap(hrow)(
+            hist, em, jnp.minimum(valid, hist_len - (k + 1))
+        )
+        valid = valid + adv
+        return (last, m + adv, out, hist, valid, caches, rounds + 1)
+
+    carry = (last, jnp.zeros((b,), jnp.int32), out0, hist, valid, caches,
+             jnp.zeros((), jnp.int32))
+    last, m, out, _, _, caches, rounds = jax.lax.while_loop(cond, body, carry)
+    counts = jnp.minimum(m, window)
+    return out[:, :window], counts, caches, rounds
 
 
 def ngram_spec_generate(

@@ -23,7 +23,9 @@ Env: EETQ_BENCH_PRESET (llama2-7b), EETQ_ENGINE_BATCH (4),
      BASELINE config 4),
      EETQ_ENGINE_RATE (trace mode requests/sec; default sized to ~80%
      of the measured static-batch throughput),
-     EETQ_ENGINE_A8 (0; 1 = W8A8 prefill — int8-activation MXU path)
+     EETQ_ENGINE_A8 (0; 1 = W8A8 prefill — int8-activation MXU path),
+     EETQ_ENGINE_SPEC (0; k>0 = n-gram SPECULATIVE decode windows with
+     draft length k — greedy-exact, greedy workloads only)
 Prints one JSON line with engine tok/s and the scanned-loop comparison.
 """
 
@@ -48,6 +50,9 @@ def make_engine(params, cfg, batch, max_len, buckets, window, paged,
     from eetq_tpu.serve.engine import Engine
 
     kw = {}
+    spec = int(os.environ.get("EETQ_ENGINE_SPEC", 0))
+    if spec:
+        kw["spec_ngram"] = spec
     if paged:
         # pool sized for the workload's live tokens + window overshoot
         bs = min(256, -(-max_len // 128) * 128)
@@ -179,6 +184,9 @@ def main():
     n_requests = int(os.environ.get("EETQ_ENGINE_REQUESTS", 2 * batch))
     paged = bool(int(os.environ.get("EETQ_ENGINE_PAGED", 0)))
     temp = float(os.environ.get("EETQ_ENGINE_TEMP", 0.0))
+    spec = int(os.environ.get("EETQ_ENGINE_SPEC", 0))
+    if spec and temp > 0:
+        raise SystemExit("EETQ_ENGINE_SPEC serves greedy workloads only")
     trace = bool(int(os.environ.get("EETQ_ENGINE_TRACE", 0)))
     cfg = PRESETS[preset]
     max_len = prompt_len + new_tokens + 8
@@ -253,7 +261,8 @@ def main():
     print(json.dumps({
         "metric": f"{preset}_engine_tok_s_b{batch}_w{window}"
                   + ("_paged" if paged else "")
-                  + (f"_t{temp}" if temp > 0 else ""),
+                  + (f"_t{temp}" if temp > 0 else "")
+                  + (f"_spec{spec}" if spec else ""),
         "value": round(eng_tok_s, 2),
         "unit": "tok/s",
         "engine_window1_tok_s": round(eng1_tok_s, 2),
@@ -262,6 +271,7 @@ def main():
         "paged": paged,
         "temperature": temp,
         "a8_prefill": bool(int(os.environ.get("EETQ_ENGINE_A8", 0))),
+        "spec_ngram": spec or None,
         # feed policy changed in r3 (was: one request per TWO scheduler
         # steps; now: one per free slot). Recorded so rows measured under
         # different arrival processes can't be conflated.

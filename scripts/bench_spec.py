@@ -65,31 +65,44 @@ def main():
 
     rows = []
 
-    def timeit(fn, label):
+    def timeit(fn, label, prep=None):
+        """Time fn(*prep()) with the prefill excluded: prep() runs outside
+        the timed region and its outputs are host-fetched (the only real
+        sync through the relay) before the clock starts."""
+        def run():
+            args = ()
+            if prep is not None:
+                args = prep()
+                # sync: prefill is one dispatch, so fetching one scalar of
+                # its output drains it before the clock starts (the relay's
+                # compute stream is serialized; block_until_ready is a lie
+                # here, only host transfers sync)
+                _fetch(args[0])
+            t0 = time.perf_counter()
+            out = fn(*args)
+            _fetch(out[0])
+            return time.perf_counter() - t0, out
+
         # warm (compile)
         t0 = time.perf_counter()
-        out = fn()
-        _fetch(out[0])
+        dt, out = run()
         print(f"  {label}: compile+first {time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
         best, best_out = float("inf"), out
         for _ in range(reps):
-            t0 = time.perf_counter()
-            out = fn()
-            _fetch(out[0])
-            dt = max(time.perf_counter() - t0 - sync_s, 1e-9)
+            dt, out = run()
+            dt = max(dt - sync_s, 1e-9)
             if dt < best:
                 best, best_out = dt, out
         return best, best_out
 
     # ---- baseline: plain scanned decode loop ----
-    def base():
-        tok, caches = prefilled(target)
+    def base(tok, caches):
         toks, _ = decode_loop(target, cfg, tok, jnp.int32(prompt_len), caches,
                               new_tokens, fused_mlp=True)
         return (toks,)
 
-    base_s, _ = timeit(base, "decode_loop")
+    base_s, _ = timeit(base, "decode_loop", prep=lambda: prefilled(target))
     base_toks = (new_tokens - 1) / base_s
     rows.append({"metric": f"{preset}_spec_baseline_tok_s", "value":
                  round(base_toks, 2), "unit": "tok/s",
@@ -98,9 +111,12 @@ def main():
 
     # ---- draft-model spec at each k ----
     for k in ks:
-        def spec():
+        def spec_prep():
             tok, t_caches = prefilled(target)
             _, d_caches = prefilled(draft)
+            return tok, t_caches, d_caches
+
+        def spec(tok, t_caches, d_caches):
             toks, stats = spec_decode_loop(
                 target, draft, cfg, cfg, tok, prompt[:, -1],
                 prompt_len, t_caches, d_caches, new_tokens, k=k,
@@ -108,7 +124,7 @@ def main():
             )
             return toks, stats
 
-        spec_s, (toks, stats) = timeit(spec, f"spec k={k}")
+        spec_s, (toks, stats) = timeit(spec, f"spec k={k}", prep=spec_prep)
         rounds, acc = int(stats[0]), int(stats[1])
         tok_s = (new_tokens - 1) / spec_s
         row = {
@@ -133,17 +149,22 @@ def main():
     )
     for k in ks:
         for pname, p in (("rand", rand_prompt),):
-            def ngram():
+            def ngram_prep(p=p):
                 caches = init_caches(cfg, 1, max_len)
                 logits, caches = prefill(target, cfg, p, caches)
                 tok = jnp.argmax(logits, -1).astype(jnp.int32)
+                return tok, caches
+
+            def ngram(tok, caches, p=p, k=k):
                 toks, stats = ngram_spec_decode_loop(
                     target, cfg, p, tok, prompt_len, caches, new_tokens,
                     k=k, fused_mlp=True,
                 )
                 return toks, stats
 
-            spec_s, (toks, stats) = timeit(ngram, f"ngram k={k} {pname}")
+            spec_s, (toks, stats) = timeit(
+                ngram, f"ngram k={k} {pname}", prep=ngram_prep
+            )
             rounds, acc = int(stats[0]), int(stats[1])
             tok_s = (new_tokens - 1) / spec_s
             row = {

@@ -458,3 +458,68 @@ def test_topk_cap_validation(params):
     uid = eng.add_request([1, 2], 4, temperature=0.7, top_k=CFG.vocab_size)
     eng.run()
     assert len(eng.result(uid)) == 4
+
+
+# ---- speculative (n-gram) decode windows ---------------------------------
+
+
+def test_spec_engine_single_matches_generate(params):
+    """spec_ngram engine output is token-for-token the greedy reference
+    (acceptance only changes speed, never tokens)."""
+    prompt = [3, 17, 42, 9, 3, 17]  # repeated bigram: some drafts accept
+    eng = Engine(params, CFG, max_batch=2, max_len=64, prompt_buckets=(8,),
+                 decode_window=4, spec_ngram=3)
+    uid = eng.add_request(prompt, max_new_tokens=12)
+    eng.run()
+    assert eng.result(uid) == _ref_greedy(params, prompt, 12)
+
+
+def test_spec_engine_mixed_lengths_recycles(params):
+    """Continuous batching with spec windows: mixed prompts/budgets through
+    fewer slots than requests, exact per-request outputs."""
+    prompts = [[5, 6, 7], [11] * 10, [1, 2], [99, 42, 7, 7, 7, 7],
+               [2, 4, 6, 8], [13, 13, 13]]
+    budgets = [6, 3, 9, 5, 7, 4]
+    eng = Engine(params, CFG, max_batch=2, max_len=64,
+                 prompt_buckets=(4, 16), decode_window=4, spec_ngram=3)
+    uids = [eng.add_request(p, n) for p, n in zip(prompts, budgets)]
+    eng.run()
+    for uid, p, n in zip(uids, prompts, budgets):
+        assert eng.result(uid) == _ref_greedy(params, p, n), (p, n)
+
+
+def test_spec_engine_eos_mid_window(params):
+    """EOS inside a speculative window retires the slot and truncates the
+    committed tokens exactly like the plain window."""
+    prompt = [3, 17, 42]
+    full = _ref_greedy(params, prompt, 12)
+    eos = full[4]  # stop at the 5th generated token
+    eng = Engine(params, CFG, max_batch=1, max_len=64, prompt_buckets=(8,),
+                 decode_window=4, spec_ngram=3)
+    uid = eng.add_request(prompt, max_new_tokens=12, eos_token_id=eos)
+    eng.run()
+    assert eng.result(uid) == full[:5]
+
+
+def test_spec_engine_validation(params):
+    with pytest.raises(ValueError):
+        Engine(params, CFG, max_batch=1, max_len=64, spec_ngram=9)
+    with pytest.raises(ValueError):
+        Engine(params, CFG, max_batch=1, max_len=64, spec_ngram=3,
+               paged_blocks=4)
+    eng = Engine(params, CFG, max_batch=1, max_len=64, spec_ngram=3)
+    with pytest.raises(ValueError):
+        eng.add_request([1, 2], 4, temperature=0.7, top_k=4)
+
+
+def test_spec_engine_streaming_poll(params):
+    """poll() sees spec-window token bursts and concatenates exactly."""
+    eng = Engine(params, CFG, max_batch=1, max_len=64, prompt_buckets=(8,),
+                 decode_window=4, spec_ngram=3)
+    uid = eng.add_request([3, 17, 42, 9], max_new_tokens=10)
+    got, done = [], False
+    while eng.has_work:
+        eng.step()
+        new, done = eng.poll(uid)
+        got.extend(new)
+    assert done and got == _ref_greedy(params, [3, 17, 42, 9], 10)
