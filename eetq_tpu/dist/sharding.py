@@ -183,6 +183,68 @@ def shard_model(
     def repl(x):
         return jax.device_put(x, NamedSharding(mesh, P()))
 
+    def mk_moe(moe):
+        """Expert parallelism: the stacked [E, K, N] banks split on the
+        EXPERT axis over the model mesh axis (E/tp experts per device,
+        quantized independently — exact, since expert quantization is
+        already per-expert). The router is a replicated sliver; attention
+        keeps its head split, so MoE models run attention-TP x expert-EP
+        on the same axis. The decoder's row-parallel psum completes the
+        routed combine (modules.moe.moe_apply returns local partials)."""
+        from eetq_tpu.modules.moe import MoEMLP
+
+        e = moe.gateup.weight.shape[0]
+        if e % tp:
+            raise ValueError(f"num_experts {e} not divisible by tp={tp}")
+        router = DenseLinear(weight=repl(moe.router.weight), bias=None)
+        router_spec = DenseLinear(weight=P(), bias=None)
+
+        def mk_bank(w):
+            shards = list(jnp.split(w, tp, axis=0))
+            if quantize:
+                from eetq_tpu.modules.linear import quantize_linear as _ql
+
+                qls = [_ql(s_, bits=bits) for s_ in shards]
+                data = jnp.stack([q.qweight.data for q in qls])
+                scales = jnp.stack([q.scales for q in qls])
+                bank = QuantLinear(
+                    qweight=dataclasses.replace(
+                        qls[0].qweight,
+                        data=jax.device_put(
+                            data,
+                            NamedSharding(mesh, P(MODEL_AXIS, None, None, None)),
+                        ),
+                    ),
+                    scales=jax.device_put(
+                        scales, NamedSharding(mesh, P(MODEL_AXIS, None, None))
+                    ),
+                )
+                spec = QuantLinear(
+                    qweight=dataclasses.replace(
+                        qls[0].qweight, data=P(MODEL_AXIS, None, None, None)
+                    ),
+                    scales=P(MODEL_AXIS, None, None),
+                    bias=None,
+                )
+                return bank, spec
+            stacked = jnp.stack(shards)
+            bank = DenseLinear(
+                weight=jax.device_put(
+                    stacked,
+                    NamedSharding(mesh, P(MODEL_AXIS, None, None, None)),
+                )
+            )
+            return bank, DenseLinear(
+                weight=P(MODEL_AXIS, None, None, None), bias=None
+            )
+
+        gu, gu_s = mk_bank(moe.gateup.weight)
+        dn, dn_s = mk_bank(moe.down.weight)
+        return (
+            MoEMLP(router=router, gateup=gu, down=dn),
+            MoEMLP(router=router_spec, gateup=gu_s, down=dn_s),
+        )
+
     layers, layer_specs = [], []
     for lp in dense_params.layers:
         # column-parallel biases split with their columns; row-parallel
@@ -194,17 +256,26 @@ def shard_model(
         )
         gu_b = (
             None
-            if lp.gateup.bias is None
+            if lp.gateup is None or lp.gateup.bias is None
             else split_gateup_columns(lp.gateup.bias, tp)
         )
-        if lp.o_proj.bias is not None or lp.down.bias is not None:
+        if lp.o_proj.bias is not None or (
+            lp.down is not None and lp.down.bias is not None
+        ):
             raise NotImplementedError(
                 "row-parallel bias sharding not supported"
             )
         qkv, qkv_s = mk_linear(split_qkv_columns(lp.qkv.weight, cfg, tp), qkv_b)
         o, o_s = mk_linear(split_rows(lp.o_proj.weight, tp), None)
-        gu, gu_s = mk_linear(split_gateup_columns(lp.gateup.weight, tp), gu_b)
-        dn, dn_s = mk_linear(split_rows(lp.down.weight, tp), None)
+        if lp.moe is not None:
+            moe, moe_s = mk_moe(lp.moe)
+            gu = dn = gu_s = dn_s = None
+        else:
+            moe = moe_s = None
+            gu, gu_s = mk_linear(
+                split_gateup_columns(lp.gateup.weight, tp), gu_b
+            )
+            dn, dn_s = mk_linear(split_rows(lp.down.weight, tp), None)
         layers.append(
             LayerParams(
                 input_norm=repl(lp.input_norm),
@@ -213,6 +284,7 @@ def shard_model(
                 post_norm=repl(lp.post_norm),
                 gateup=gu,
                 down=dn,
+                moe=moe,
             )
         )
         layer_specs.append(
@@ -223,6 +295,7 @@ def shard_model(
                 post_norm=P(),
                 gateup=gu_s,
                 down=dn_s,
+                moe=moe_s,
             )
         )
 

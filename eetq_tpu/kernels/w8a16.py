@@ -366,6 +366,170 @@ def w8a16_matmul_kernel_call(
     )(*operands)
 
 
+def _expert_kernel_body(
+    nk: int,
+    out_dtype,
+    bits: int,
+    group_in_loop: int | None,
+    *refs,
+):
+    """Expert-indexed matmul body. Grid (n_sel, nm, nn, nk); the expert id of
+    selection s is scalar-prefetched and consumed by the BLOCK INDEX MAPS
+    (the weight bank never moves — only the selected expert's blocks are
+    DMA'd), so the body itself is the plain dequant-matmul loop.
+
+    Ref order (after the scalar-prefetch eids ref, which Pallas passes
+    first): int8: eids, x, w, s, out, acc; int4: eids, x_lo, x_hi, w, s,
+    out, acc. w/s blocks carry a leading length-1 expert axis.
+    """
+    refs = list(refs)
+    refs.pop(0)  # eids: consumed by index maps only
+    acc_ref = refs.pop()
+    out_ref = refs.pop()
+    if bits == 4:
+        x_lo_ref, x_hi_ref, w_ref, s_ref = refs
+    else:
+        x_lo_ref, w_ref, s_ref = refs
+        x_hi_ref = None
+
+    k = pl.program_id(3)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    g = group_in_loop
+    dtype = x_lo_ref.dtype
+    bk = w_ref.shape[1]
+    s_in = None if g is None else s_ref.at[0]  # 2-D [Gp, bn] view
+    row_base = None if g is None else (k * bk) // g
+
+    if bits == 4:
+        w8 = w_ref[0]
+        lo_bias8 = jax.lax.bitwise_xor(
+            jax.lax.bitwise_and(w8, jnp.int8(15)), jnp.int8(8)
+        )
+        hi16 = jax.lax.bitwise_and(w8, jnp.int8(0xF0 - 256))
+        x_hi = (x_hi_ref[:].astype(jnp.float32) * (1.0 / 16.0)).astype(dtype)
+        _dot_scaled(x_lo_ref[:], lo_bias8, s_in, g, row_base, acc_ref, dtype,
+                    bias_correction=8.0)
+        hi_base = None if g is None else ((k + nk) * bk) // g
+        _dot_scaled(x_hi, hi16, s_in, g, hi_base, acc_ref, dtype)
+    else:
+        _dot_scaled(x_lo_ref[:], w_ref[0], s_in, g, row_base, acc_ref, dtype)
+
+    @pl.when(k == nk - 1)
+    def _epilogue():
+        r = acc_ref[:]
+        if g is None:
+            r = r * s_ref[0].astype(jnp.float32)  # [1, bn] broadcasts
+        out_rows = out_ref.shape[-2]
+        out_ref[0] = r[:out_rows].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "bits", "group_size", "interpret", "out_rows"),
+)
+def w8a16_expert_matmul_kernel_call(
+    x: jax.Array,
+    w_packed_data: jax.Array,
+    scales: jax.Array,
+    expert_ids: jax.Array,
+    config: MatmulConfig,
+    interpret: bool = False,
+    bits: int = 8,
+    group_size: int | None = None,
+    out_rows: int | None = None,
+) -> jax.Array:
+    """Expert-indexed matmul on a stacked weight BANK — the MoE hot path.
+
+    out[s] = x @ dequant(bank[expert_ids[s]]) for each selection s, in ONE
+    kernel dispatch: `expert_ids` is scalar-prefetched (the same mechanism
+    as the paged flash-decode block table) and the weight-block index map
+    picks the selected expert's tiles straight out of HBM — no [Kp, Np]
+    dynamic-slice copy per expert, and bytes streamed are exactly the
+    selected experts' (2/8ths of a Mixtral layer at top-2, not 8/8ths).
+
+    x: [Mp, Kp]; w_packed_data: int8 [E, Kp, Np] ([E, Kp/2, Np] int4);
+    scales: [E, 1, Np] per-channel or [E, Gp, Np] group-wise;
+    expert_ids: [n_sel] int32. Returns [n_sel, Mp (or out_rows), Np].
+    """
+    mp, kp = x.shape
+    n_sel = expert_ids.shape[0]
+    np_ = w_packed_data.shape[-1]
+    kp_data = w_packed_data.shape[-2]
+    if bits == 4:
+        assert kp_data * 2 == kp, (x.shape, w_packed_data.shape)
+    else:
+        assert kp_data == kp, (x.shape, w_packed_data.shape)
+    bm, bn, bk = config.bm, config.bn, config.bk
+    assert mp % bm == 0 and np_ % bn == 0 and kp_data % bk == 0, (
+        x.shape, w_packed_data.shape, config,
+    )
+    nm, nn, nk = mp // bm, np_ // bn, kp_data // bk
+
+    group_in_loop = None
+    s_rows = scales.shape[1]
+    if s_rows > 1:
+        g = kp // s_rows
+        if not (bk % g == 0 or g % bk == 0):
+            raise ValueError(
+                f"group size {g} incompatible with bk {bk}"
+            )
+        if bits == 4 and bk % g != 0:
+            raise ValueError("int4 group-wise requires bk % group == 0")
+        group_in_loop = g
+
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda s, i, j, k, eids: (i, k)),
+    ]
+    operands: list[jax.Array] = [x]
+    if bits == 4:
+        in_specs.append(
+            pl.BlockSpec((bm, bk), lambda s, i, j, k, eids, nk=nk: (i, k + nk))
+        )
+        operands.append(x)
+    in_specs.append(
+        pl.BlockSpec((1, bk, bn), lambda s, i, j, k, eids: (eids[s], k, j))
+    )
+    operands.append(w_packed_data)
+    in_specs.append(
+        pl.BlockSpec((1, s_rows, bn), lambda s, i, j, k, eids: (eids[s], 0, j))
+    )
+    operands.append(scales)
+
+    out_m, out_m_block = mp, bm
+    if out_rows is not None and out_rows != mp:
+        if nm != 1 or out_rows > bm:
+            raise ValueError(
+                f"out_rows={out_rows} requires a single row block (mp={mp})"
+            )
+        out_m = out_m_block = out_rows
+
+    kernel = functools.partial(
+        _expert_kernel_body, nk, x.dtype, bits, group_in_loop
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_sel, nm, nn, nk),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, out_m_block, bn), lambda s, i, j, k, eids: (s, i, j)
+            ),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_sel, out_m, np_), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(expert_ids.astype(jnp.int32), *operands)
+    return out
+
+
 def w8a16_matmul_ref(
     x: jax.Array,
     qweight: jax.Array,

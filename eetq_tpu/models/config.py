@@ -32,6 +32,10 @@ class ModelConfig:
     # chatglm2/3: GPT-J-style adjacent-lane rotary pairing over the first
     # half of head_dim (rope_dim = head_dim // 2)
     rope_interleaved: bool = False
+    # mixtral: routed MoE MLP (num_local_experts / num_experts_per_tok in
+    # the HF config); None = dense MLP
+    num_experts: int | None = None
+    num_experts_per_tok: int = 2
     model_type: str = "llama"
 
     @property
@@ -85,6 +89,8 @@ class ModelConfig:
                 or str(hf.get("position_embedding", "")).upper() == "ALIBI"
                 or (model_type == "baichuan" and num_heads >= 40)
             ),
+            num_experts=hf.get("num_local_experts"),
+            num_experts_per_tok=hf.get("num_experts_per_tok", 2),
             model_type=model_type,
         )
 
@@ -197,6 +203,20 @@ CHATGLM3_6B = ModelConfig(
     model_type="chatglm",
 )
 
+# Tiny MoE config (mixtral-shaped) for CPU smoke tests of the routed path.
+TOY_MOE = ModelConfig(
+    vocab_size=256, hidden_size=128, intermediate_size=256, num_layers=2,
+    num_heads=4, num_kv_heads=2, head_dim=32, max_position=2048,
+    num_experts=4, num_experts_per_tok=2, model_type="mixtral",
+)
+
+MIXTRAL_8X7B = ModelConfig(
+    vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+    num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+    max_position=32768, rope_theta=1e6, num_experts=8,
+    num_experts_per_tok=2, model_type="mixtral",
+)
+
 QWEN2_7B = ModelConfig(
     vocab_size=152064, hidden_size=3584, intermediate_size=18944, num_layers=28,
     num_heads=28, num_kv_heads=4, head_dim=128, max_position=32768,
@@ -216,4 +236,6 @@ PRESETS = {
     "baichuan-13b": BAICHUAN_13B,
     "chatglm3-6b": CHATGLM3_6B,
     "qwen2-7b": QWEN2_7B,
+    "toy-moe": TOY_MOE,
+    "mixtral-8x7b": MIXTRAL_8X7B,
 }

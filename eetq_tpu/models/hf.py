@@ -53,6 +53,15 @@ _LLAMA_NAMES = dict(
 _FAMILY = {
     "llama": dict(qkv=("q_proj", "k_proj", "v_proj")),
     "mistral": dict(qkv=("q_proj", "k_proj", "v_proj")),
+    # mixtral: llama attention + routed MoE MLP. The MLP weights live under
+    # block_sparse_moe: gate = the [E, H] router, experts.{j}.w1/w3 = the
+    # j-th expert's gate/up projections (fused into our stacked [E, H, 2I]
+    # bank), w2 = down ([E, I, H]).
+    "mixtral": dict(
+        qkv=("q_proj", "k_proj", "v_proj"),
+        moe_router="block_sparse_moe.gate",
+        moe_expert="block_sparse_moe.experts.{j}",
+    ),
     "gemma": dict(qkv=("q_proj", "k_proj", "v_proj")),
     "baichuan": dict(qkv=("W_pack",)),
     "qwen2": dict(qkv=("q_proj", "k_proj", "v_proj")),  # with qkv biases
@@ -170,6 +179,47 @@ def _to_linear(w_t: np.ndarray, quantize: bool, bits: int, dtype,
     return DenseLinear(weight=w.astype(dtype), bias=b)
 
 
+def _to_moe(src, pfx: str, fam: dict, cfg: ModelConfig, quantize: bool,
+            bits: int, dtype):
+    """Assemble a stacked-expert MoEMLP from HF mixtral weights: per-expert
+    w1/w3 fuse into the [E, H, 2I] gateup bank, w2 transposes into the
+    [E, I, H] down bank, gate becomes the [H, E] router (kept bf16)."""
+    from eetq_tpu.modules.moe import MoEMLP
+
+    e = cfg.num_experts
+    router_t = src(f"{pfx}.{fam['moe_router']}.weight")  # [E, H]
+    router = DenseLinear(
+        weight=jnp.asarray(np.ascontiguousarray(router_t.T), dtype)
+    )
+    gu = np.stack([
+        np.concatenate(
+            [
+                src(f"{pfx}.{fam['moe_expert'].format(j=j)}.w1.weight"),
+                src(f"{pfx}.{fam['moe_expert'].format(j=j)}.w3.weight"),
+            ],
+            axis=0,
+        ).T  # [H, 2I]
+        for j in range(e)
+    ])
+    dn = np.stack([
+        src(f"{pfx}.{fam['moe_expert'].format(j=j)}.w2.weight").T  # [I, H]
+        for j in range(e)
+    ])
+
+    def mk(bank):
+        if quantize:
+            from eetq_tpu.native import host_symmetric_quantize
+
+            q, s = host_symmetric_quantize(np.ascontiguousarray(bank), bits=bits)
+            return QuantLinear(
+                qweight=pack_weights(jnp.asarray(q), bits=bits),
+                scales=jnp.asarray(s, jnp.float32),
+            )
+        return DenseLinear(weight=jnp.asarray(bank).astype(dtype))
+
+    return MoEMLP(router=router, gateup=mk(gu), down=mk(dn))
+
+
 def _build_params(
     src: _TensorSource,
     cfg: ModelConfig,
@@ -198,13 +248,21 @@ def _build_params(
             return w, bias
 
         qkv_t, qkv_bias = cat_wb([f"{attn}.{p}" for p in fam["qkv"]])
-        gateup_t, gu_bias = cat_wb([f"{pfx}.{p}" for p in fam["gateup"]])
 
         def opt_bias(name):  # attention_bias=True also puts one on o_proj;
             return src(name) if name in src else None  # mlp_bias covers mlp
 
         o_name = f"{attn}.{fam['o']}"
-        down_name = f"{pfx}.{fam['down']}"
+        if cfg.num_experts:
+            moe = _to_moe(src, pfx, fam, cfg, quantize, bits, dtype)
+            gateup = down = None
+        else:
+            moe = None
+            gateup_t, gu_bias = cat_wb([f"{pfx}.{p}" for p in fam["gateup"]])
+            down_name = f"{pfx}.{fam['down']}"
+            gateup = _to_linear(gateup_t, quantize, bits, dtype, bias=gu_bias)
+            down = _to_linear(src(f"{down_name}.weight"), quantize, bits,
+                              dtype, bias=opt_bias(f"{down_name}.bias"))
         layers.append(
             LayerParams(
                 input_norm=jnp.asarray(
@@ -216,10 +274,9 @@ def _build_params(
                 post_norm=jnp.asarray(
                     src(f"{pfx}.post_attention_layernorm.weight"), jnp.float32
                 ),
-                gateup=_to_linear(gateup_t, quantize, bits, dtype, bias=gu_bias),
-                down=_to_linear(src(f"{down_name}.weight"), quantize,
-                                bits, dtype,
-                                bias=opt_bias(f"{down_name}.bias")),
+                gateup=gateup,
+                down=down,
+                moe=moe,
             )
         )
         log.debug("loaded layer %d/%d", i + 1, cfg.num_layers)
@@ -265,6 +322,19 @@ def _unfuse_layer(lp: LayerParams, cfg: ModelConfig) -> dict[str, QuantLinear]:
     (bit-exact along N). Dict keys are the HF projection names."""
     fam = _family(cfg.model_type)
     d = {}
+    if lp.moe is not None:
+        # expert banks are handled by save_quantized's put_moe
+        if len(fam["qkv"]) == 3:
+            nq = cfg.num_heads * cfg.head_dim
+            nkv = cfg.num_kv_heads * cfg.head_dim
+            for name, ql in zip(
+                fam["qkv"], split_quant_columns(lp.qkv, [nq, nkv, nkv])
+            ):
+                d[f"{fam['attn']}.{name}"] = ql
+        else:
+            d[f"{fam['attn']}.{fam['qkv'][0]}"] = lp.qkv
+        d[f"{fam['attn']}.{fam['o']}"] = lp.o_proj
+        return d
     if len(fam["qkv"]) == 3:
         nq = cfg.num_heads * cfg.head_dim
         nkv = cfg.num_kv_heads * cfg.head_dim
@@ -317,10 +387,33 @@ def save_quantized(
             tensors[f"{name}.bias"] = np.asarray(ql.bias, np.float16)
 
     fam = _family(cfg.model_type)
+
+    def put_moe(pfx: str, moe) -> None:
+        """Per-expert w1/w3/w2 int8 [out, in] + scales (HF mixtral names),
+        router as fp16 — the portable unpacked form of the 3-D banks."""
+        tensors[f"{pfx}.{fam['moe_router']}.weight"] = np.ascontiguousarray(
+            np.asarray(moe.router.weight, np.float16).T
+        )
+        qgu = np.asarray(unpack_weights(moe.gateup.qweight))  # [E, H, 2I]
+        qdn = np.asarray(unpack_weights(moe.down.qweight))  # [E, I, H]
+        sgu = np.asarray(moe.gateup.scales, np.float16)
+        sdn = np.asarray(moe.down.scales, np.float16)
+        isz = qgu.shape[-1] // 2
+        for j in range(qgu.shape[0]):
+            ex = f"{pfx}.{fam['moe_expert'].format(j=j)}"
+            tensors[f"{ex}.w1.weight"] = np.ascontiguousarray(qgu[j, :, :isz].T)
+            tensors[f"{ex}.w1.weight_scales"] = sgu[j, ..., :isz].reshape(-1)
+            tensors[f"{ex}.w3.weight"] = np.ascontiguousarray(qgu[j, :, isz:].T)
+            tensors[f"{ex}.w3.weight_scales"] = sgu[j, ..., isz:].reshape(-1)
+            tensors[f"{ex}.w2.weight"] = np.ascontiguousarray(qdn[j].T)
+            tensors[f"{ex}.w2.weight_scales"] = sdn[j].reshape(-1)
+
     for i, lp in enumerate(params.layers):
         pfx = fam["layer"].format(i=i)
         for proj, ql in _unfuse_layer(lp, cfg).items():
             put_quant(f"{pfx}.{proj}", ql)
+        if lp.moe is not None:
+            put_moe(pfx, lp.moe)
         tensors[f"{pfx}.input_layernorm.weight"] = np.asarray(lp.input_norm, np.float16)
         tensors[f"{pfx}.post_attention_layernorm.weight"] = np.asarray(
             lp.post_norm, np.float16
@@ -400,6 +493,9 @@ def save_quantized(
         hf.setdefault("tie_word_embeddings", cfg.tie_word_embeddings)
         if cfg.sliding_window:
             hf.setdefault("sliding_window", cfg.sliding_window)
+        if cfg.num_experts:
+            hf.setdefault("num_local_experts", cfg.num_experts)
+            hf.setdefault("num_experts_per_tok", cfg.num_experts_per_tok)
     hf["quantization_config"] = quant_cfg
     with open(os.path.join(save_dir, "config.json"), "w") as f:
         json.dump(hf, f, indent=2)
@@ -456,6 +552,45 @@ def load_quantized(path: str, dtype=jnp.bfloat16) -> tuple[ModelConfig, ModelPar
             bias=bias,
         )
 
+    def get_moe(pfx: str):
+        """Reassemble the stacked 3-D expert banks from per-expert w1/w3/w2
+        (inverse of save_quantized's put_moe)."""
+        from eetq_tpu.modules.moe import MoEMLP
+
+        router = DenseLinear(
+            weight=jnp.asarray(
+                src(f"{pfx}.{fam['moe_router']}.weight").T.copy(), dtype
+            )
+        )
+
+        def raw(name):
+            q = src(f"{name}.weight")  # [out, in] int8
+            s = src(f"{name}.weight_scales").reshape(-1)
+            out_dim = q.shape[0]
+            if s.size != out_dim:
+                s = s.reshape(s.size // out_dim, out_dim)
+            return np.ascontiguousarray(q.T), s  # logical [in, out]
+
+        gus, gss, dns, dss = [], [], [], []
+        for j in range(cfg.num_experts):
+            ex = f"{pfx}.{fam['moe_expert'].format(j=j)}"
+            w1, s1 = raw(f"{ex}.w1")
+            w3, s3 = raw(f"{ex}.w3")
+            w2, s2 = raw(f"{ex}.w2")
+            gus.append(np.concatenate([w1, w3], axis=-1))  # [H, 2I]
+            gss.append(np.concatenate([s1, s3], axis=-1))
+            dns.append(w2)
+            dss.append(s2)
+
+        def bank(qs, ss):
+            return QuantLinear(
+                qweight=pack_weights(jnp.asarray(np.stack(qs)), bits=bits),
+                scales=jnp.asarray(np.stack(ss), jnp.float32),
+            )
+
+        return MoEMLP(router=router, gateup=bank(gus, gss),
+                      down=bank(dns, dss))
+
     layers = []
     for i in range(cfg.num_layers):
         pfx = fam["layer"].format(i=i)
@@ -464,12 +599,18 @@ def load_quantized(path: str, dtype=jnp.bfloat16) -> tuple[ModelConfig, ModelPar
             qkv = fuse_quant([get_quant(f"{attn}.{p}") for p in fam["qkv"]])
         else:
             qkv = get_quant(f"{attn}.{fam['qkv'][0]}")
-        if len(fam["gateup"]) == 2:
+        moe = None
+        gateup = down = None
+        if cfg.num_experts:
+            moe = get_moe(pfx)
+        elif len(fam["gateup"]) == 2:
             gateup = fuse_quant(
                 [get_quant(f"{pfx}.{p}") for p in fam["gateup"]]
             )
+            down = get_quant(f"{pfx}.{fam['down']}")
         else:
             gateup = get_quant(f"{pfx}.{fam['gateup'][0]}")
+            down = get_quant(f"{pfx}.{fam['down']}")
         layers.append(
             LayerParams(
                 input_norm=jnp.asarray(src(f"{pfx}.input_layernorm.weight"), jnp.float32),
@@ -479,7 +620,8 @@ def load_quantized(path: str, dtype=jnp.bfloat16) -> tuple[ModelConfig, ModelPar
                     src(f"{pfx}.post_attention_layernorm.weight"), jnp.float32
                 ),
                 gateup=gateup,
-                down=get_quant(f"{pfx}.{fam['down']}"),
+                down=down,
+                moe=moe,
             )
         )
     lm_head = None

@@ -24,15 +24,49 @@ def _dense(key, k, n, dtype, with_bias: bool = False) -> DenseLinear:
     return DenseLinear(weight=w.astype(dtype), bias=b)
 
 
+def _dense_experts(key, e, k, n, dtype) -> DenseLinear:
+    w = jax.random.normal(key, (e, k, n), jnp.float32) * (k**-0.5)
+    return DenseLinear(weight=w.astype(dtype))
+
+
 def random_dense_params(
     cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16
 ) -> ModelParams:
-    """Unquantized (bf16) model with fused qkv / gateup linears."""
-    n_keys = cfg.num_layers * 4 + 2
+    """Unquantized (bf16) model with fused qkv / gateup linears (stacked
+    expert banks + a router when cfg.num_experts is set)."""
+    n_keys = cfg.num_layers * 5 + 2
     keys = iter(jax.random.split(key, n_keys))
     h = cfg.hidden_size
     layers = []
     for _ in range(cfg.num_layers):
+        if cfg.num_experts:
+            from eetq_tpu.modules.moe import MoEMLP
+
+            e = cfg.num_experts
+            moe = MoEMLP(
+                router=_dense(next(keys), h, e, dtype),
+                gateup=_dense_experts(
+                    next(keys), e, h, 2 * cfg.intermediate_size, dtype
+                ),
+                down=_dense_experts(
+                    next(keys), e, cfg.intermediate_size, h, dtype
+                ),
+            )
+            layers.append(
+                LayerParams(
+                    input_norm=jnp.ones((h,), jnp.float32),
+                    qkv=_dense(next(keys), h, cfg.qkv_out, dtype,
+                               with_bias=cfg.qkv_bias),
+                    o_proj=_dense(
+                        next(keys), cfg.num_heads * cfg.head_dim, h, dtype
+                    ),
+                    post_norm=jnp.ones((h,), jnp.float32),
+                    gateup=None,
+                    down=None,
+                    moe=moe,
+                )
+            )
+            continue
         layers.append(
             LayerParams(
                 input_norm=jnp.ones((h,), jnp.float32),
@@ -77,16 +111,25 @@ def quantize_params(
             lin.weight, bias=lin.bias, bits=bits, group_size=group_size
         )
 
-    layers = [
-        dataclasses_replace(
+    def q_layer(lp: LayerParams) -> LayerParams:
+        if lp.moe is not None:
+            from eetq_tpu.modules.moe import quantize_moe
+
+            return dataclasses_replace(
+                lp,
+                qkv=q(lp.qkv),
+                o_proj=q(lp.o_proj),
+                moe=quantize_moe(lp.moe, bits=bits, group_size=group_size),
+            )
+        return dataclasses_replace(
             lp,
             qkv=q(lp.qkv),
             o_proj=q(lp.o_proj),
             gateup=q(lp.gateup),
             down=q(lp.down),
         )
-        for lp in params.layers
-    ]
+
+    layers = [q_layer(lp) for lp in params.layers]
     lm_head = params.lm_head
     if quantize_lm_head and isinstance(lm_head, DenseLinear):
         lm_head = q(lm_head)

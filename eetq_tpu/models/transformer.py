@@ -39,10 +39,11 @@ class LayerParams:
     qkv: Linear  # fused [H, (Hq + 2*Hkv) * D]
     o_proj: Linear
     post_norm: jax.Array
-    gateup: Linear  # fused [H, 2 * I]
-    down: Linear
+    gateup: Linear | None  # fused [H, 2 * I]; None for MoE layers
+    down: Linear | None
     qkv_lora: LoraAdapter | None = None
     o_lora: LoraAdapter | None = None
+    moe: Any | None = None  # modules.moe.MoEMLP for routed-MLP layers
 
 
 @jax.tree_util.register_dataclass
@@ -154,6 +155,19 @@ def decoder_layer(
 
     # --- mlp block (fused gate/up, gated activation) ---
     residual = x
+    if p.moe is not None:
+        # Routed MoE MLP (mixtral): norm -> router -> top-k expert combine.
+        # Under EP (experts sharded over tp_axis) moe_apply returns the
+        # local-expert partial sum and the psum completes it — the same
+        # contract as the row-parallel down projection.
+        from eetq_tpu.modules.moe import moe_apply
+
+        y = _norm(x, p.post_norm, cfg)
+        out = moe_apply(
+            p.moe, y, cfg.num_experts_per_tok, activation=cfg.activation,
+            tp_axis=tp_axis,
+        )
+        return residual + _maybe_psum(out, tp_axis), cache
     gamma2 = p.post_norm + 1.0 if cfg.rmsnorm_unit_offset else p.post_norm
     if fused_mlp is None:
         fused_mlp = _fused_mlp_enabled()

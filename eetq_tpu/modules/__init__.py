@@ -6,6 +6,7 @@ from eetq_tpu.modules.linear import (
     linear_apply,
 )
 from eetq_tpu.modules.attention import KVCache, attention
+from eetq_tpu.modules.moe import MoEMLP, moe_apply, quantize_moe
 
 __all__ = [
     "QuantLinear",
@@ -15,4 +16,7 @@ __all__ = [
     "linear_apply",
     "KVCache",
     "attention",
+    "MoEMLP",
+    "moe_apply",
+    "quantize_moe",
 ]

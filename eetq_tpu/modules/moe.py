@@ -1,0 +1,212 @@
+"""Mixture-of-Experts MLP over quantized expert banks (Mixtral-style).
+
+The reference carries 3-D "num_experts" batched quantization end to end
+(`fpA_intB_gemm_wrapper.cu:44-66`, `cutlass_preprocessors.cc:594-614`,
+MoE-aware layout traits `mixed_gemm_B_layout.h:1-4`) but hardcodes
+num_experts=1 in its GEMM runner and ships no router — the infrastructure
+without the runtime. This module is the runtime, TPU-native:
+
+- experts live as ONE stacked [E, K, N] quantized bank (a 3-D PackedWeight —
+  the layout the quantizer/native preprocessor already produce);
+- routing is a top-k softmax over a small bf16 router linear;
+- **decode** (few tokens) runs `ops.moe.w8a16_expert_matmul`: expert ids are
+  scalar-prefetched into the Pallas grid, so HBM streams exactly the
+  selected experts' tiles — top-2-of-8 decode moves 1/4 of the bank's
+  bytes, the bandwidth-optimal figure for routed decode;
+- **prefill** (many tokens) runs a `lax.scan` over experts: every expert's
+  tiles stream once while all tokens' partial outputs are masked by the
+  routing weights (dense-masked combine — exact, static shapes, MXU-shaped;
+  the E/k FLOP overhead is the classic static-shape MoE tradeoff and
+  prefill is MXU-rich);
+- **expert parallelism**: under shard_map the local bank holds E/p experts
+  and the scan covers only those; the decoder's existing row-parallel psum
+  completes the combine (see models.transformer.decoder_layer).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from eetq_tpu.kernels.autotune import MAX_DECODE_M
+from eetq_tpu.kernels.w8a16 import w8a16_matmul_ref
+from eetq_tpu.layout import unpack_weights
+from eetq_tpu.modules.linear import DenseLinear, QuantLinear
+from eetq_tpu.ops.moe import w8a16_expert_matmul
+from eetq_tpu.quant import symmetric_quantize
+
+_ACT = {"silu": jax.nn.silu, "gelu": jax.nn.gelu, "relu": jax.nn.relu}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MoEMLP:
+    """Routed MLP block: router [H, E] + stacked expert gate/up and down.
+
+    gateup/down are QuantLinear (3-D PackedWeight data [E, Kp, Np], scales
+    [E, N] or [E, G, N]) or DenseLinear (3-D weight [E, K, N], bf16)."""
+
+    router: DenseLinear  # weight [H, E]
+    gateup: QuantLinear | DenseLinear  # [E, H, 2I]
+    down: QuantLinear | DenseLinear  # [E, I, H]
+
+    @property
+    def num_local_experts(self) -> int:
+        w = (
+            self.gateup.qweight.data
+            if isinstance(self.gateup, QuantLinear)
+            else self.gateup.weight
+        )
+        return w.shape[0]
+
+
+def quantize_moe(
+    moe: MoEMLP, bits: int = 8, group_size: int | None = None
+) -> MoEMLP:
+    """Quantize a dense MoEMLP's expert banks (router stays bf16 — it is a
+    [H, E] sliver whose logits decide routing; quantizing it risks flipped
+    top-k picks for ~zero bytes saved)."""
+    from eetq_tpu.layout import pack_weights
+
+    def q(lin: DenseLinear) -> QuantLinear:
+        if lin.bias is not None:
+            raise NotImplementedError("expert biases not supported")
+        qw, s = symmetric_quantize(lin.weight, bits=bits, group_size=group_size)
+        return QuantLinear(qweight=pack_weights(qw, bits=bits), scales=s)
+
+    return MoEMLP(router=moe.router, gateup=q(moe.gateup), down=q(moe.down))
+
+
+def route(
+    router: DenseLinear, x2: jax.Array, top_k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k routing: softmax over the selected logits (the Mixtral
+    convention — normalize AFTER top-k). x2 [T, H] -> (weights [T, k] f32,
+    ids [T, k] int32)."""
+    logits = jnp.dot(
+        x2, router.weight.astype(x2.dtype), preferred_element_type=jnp.float32
+    )
+    topv, topi = jax.lax.top_k(logits, top_k)
+    topw = jax.nn.softmax(topv, axis=-1)
+    return topw, topi.astype(jnp.int32)
+
+
+def _gated(gu_out: jax.Array, activation: str, dtype) -> jax.Array:
+    gate, up = jnp.split(gu_out, 2, axis=-1)
+    return (
+        _ACT[activation](gate.astype(jnp.float32)) * up.astype(jnp.float32)
+    ).astype(dtype)
+
+
+def moe_apply(
+    moe: MoEMLP,
+    x: jax.Array,
+    top_k: int,
+    activation: str = "silu",
+    tp_axis: str | None = None,
+    interpret: bool | None = None,
+    use_kernel: bool = True,
+) -> jax.Array:
+    """Routed MLP forward. x [B, S, H] (already normed) -> [B, S, H].
+
+    Under expert parallelism (tp_axis set, inside shard_map) the banks hold
+    the LOCAL E/p experts; the return value is this shard's partial combine
+    and the caller psums it (same contract as the row-parallel down proj).
+    """
+    b, s, h = x.shape
+    t = b * s
+    x2 = x.reshape(t, h)
+    quantized = isinstance(moe.gateup, QuantLinear)
+
+    topw, topi = route(moe.router, x2, top_k)  # [T, k]
+
+    e_local = moe.num_local_experts
+    n_sel = t * top_k
+    gather_ok = (
+        quantized
+        and use_kernel
+        and tp_axis is None
+        and n_sel <= min(MAX_DECODE_M, e_local)
+    )
+    if gather_ok:
+        # Decode regime: one scalar-prefetched kernel per projection streams
+        # exactly the selected experts' weight tiles.
+        eids = topi.reshape(-1)
+        sel = jnp.arange(n_sel)
+        tok = sel // top_k
+        gu_sel = w8a16_expert_matmul(
+            x2, moe.gateup.qweight, moe.gateup.scales, eids,
+            interpret=interpret,
+        )  # [n_sel, T, 2I]
+        hidden = _gated(gu_sel[sel, tok], activation, x2.dtype)  # [n_sel, I]
+        dn_sel = w8a16_expert_matmul(
+            hidden, moe.down.qweight, moe.down.scales, eids,
+            interpret=interpret,
+        )  # [n_sel, n_sel, H]
+        dn_rows = dn_sel[sel, sel].astype(jnp.float32)  # [n_sel, H]
+        out2 = jnp.sum(
+            dn_rows.reshape(t, top_k, h) * topw[..., None], axis=1
+        )
+        return out2.astype(x.dtype).reshape(b, s, h)
+
+    # Dense-masked scan over (local) experts: coeff[t, e] = routing weight
+    # if expert e was picked for token t else 0. Exact for any T.
+    e_global = (
+        moe.router.weight.shape[-1]
+    )
+    coeff = jnp.sum(
+        jax.nn.one_hot(topi, e_global, dtype=jnp.float32) * topw[..., None],
+        axis=-2,
+    )  # [T, E_global]
+    if tp_axis is not None and e_local != e_global:
+        off = jax.lax.axis_index(tp_axis) * e_local
+        coeff = jax.lax.dynamic_slice(coeff, (0, off), (t, e_local))
+        local_ids = jnp.arange(e_local, dtype=jnp.int32)  # bank-local
+    else:
+        local_ids = jnp.arange(e_local, dtype=jnp.int32)
+    coeff_t = coeff.T  # [E_local, T]
+
+    if quantized and use_kernel:
+        gu_q, gu_s = moe.gateup.qweight, moe.gateup.scales
+        dn_q, dn_s = moe.down.qweight, moe.down.scales
+
+        def body(acc, ec):
+            eidx, c = ec
+            g_out = w8a16_expert_matmul(
+                x2, gu_q, gu_s, eidx[None], interpret=interpret
+            )[0]
+            hidden = _gated(g_out, activation, x2.dtype)
+            d_out = w8a16_expert_matmul(
+                hidden, dn_q, dn_s, eidx[None], interpret=interpret
+            )[0]
+            return acc + c[:, None] * d_out.astype(jnp.float32), None
+
+        xs = (local_ids, coeff_t)
+    elif quantized:
+        gu_logical = unpack_weights(moe.gateup.qweight)
+        dn_logical = unpack_weights(moe.down.qweight)
+
+        def body(acc, xs_):
+            wg, sg, wd, sd, c = xs_
+            g_out = w8a16_matmul_ref(x2, wg, sg).astype(x2.dtype)
+            hidden = _gated(g_out, activation, x2.dtype)
+            d_out = w8a16_matmul_ref(hidden, wd, sd)
+            return acc + c[:, None] * d_out.astype(jnp.float32), None
+
+        xs = (gu_logical, moe.gateup.scales, dn_logical, moe.down.scales,
+              coeff_t)
+    else:
+
+        def body(acc, xs_):
+            wg, wd, c = xs_
+            g_out = jnp.dot(x2, wg.astype(x2.dtype))
+            hidden = _gated(g_out, activation, x2.dtype)
+            d_out = jnp.dot(hidden, wd.astype(hidden.dtype))
+            return acc + c[:, None] * d_out.astype(jnp.float32), None
+
+        xs = (moe.gateup.weight, moe.down.weight, coeff_t)
+
+    out2, _ = jax.lax.scan(body, jnp.zeros((t, h), jnp.float32), xs)
+    return out2.astype(x.dtype).reshape(b, s, h)

@@ -12,6 +12,7 @@ Here every op is a jitted JAX function:
 """
 
 from eetq_tpu.ops.linear import w8a16_matmul
+from eetq_tpu.ops.moe import w8a16_expert_matmul
 from eetq_tpu.ops.linear8 import w8a8_matmul
 from eetq_tpu.ops.mlp import fused_mlp
 from eetq_tpu.quant import symmetric_quantize as quantize_weights
@@ -22,6 +23,7 @@ from eetq_tpu.ops.alibi import alibi_slopes
 
 __all__ = [
     "w8a16_matmul",
+    "w8a16_expert_matmul",
     "w8a8_matmul",
     "fused_mlp",
     "quantize_weights",

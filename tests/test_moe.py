@@ -1,0 +1,287 @@
+"""Mixture-of-Experts: the expert-indexed Pallas matmul vs the jnp oracle,
+routed-MLP correctness (gather and scan paths), the full mixtral-family
+model (prefill/decode parity, engine, checkpoints), and expert parallelism
+on the virtual mesh.
+
+The reference carries 3-D "num_experts" quantization without a runtime
+(`fpA_intB_gemm_wrapper.cu:44-66`, num_experts=1 hardcoded in the runner,
+`fpA_intB_gemm_template.h:475-476`); these tests cover the runtime this
+repo adds on top of that parity surface.
+"""
+
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eetq_tpu.layout import pack_weights, unpack_weights
+from eetq_tpu.models import forward, init_caches, quantize_params, random_dense_params
+from eetq_tpu.models.config import TOY_MOE, ModelConfig
+from eetq_tpu.modules.moe import MoEMLP, moe_apply, quantize_moe, route
+from eetq_tpu.ops.moe import expert_matmul_ref, w8a16_expert_matmul
+from eetq_tpu.quant import symmetric_quantize
+
+
+def _bank(key, e, k, n, bits=8, group_size=None):
+    w = jax.random.normal(key, (e, k, n), jnp.float32)
+    q, s = symmetric_quantize(w, bits=bits, group_size=group_size)
+    return q, pack_weights(q, bits=bits), s
+
+
+def test_expert_matmul_matches_ref():
+    q, pw, s = _bank(jax.random.PRNGKey(0), 4, 192, 200)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 192), jnp.bfloat16)
+    eids = jnp.array([0, 2, 2, 1, 3], jnp.int32)  # with a repeat
+    out = w8a16_expert_matmul(x, pw, s, eids, interpret=True)
+    ref = expert_matmul_ref(x, q, s, eids).astype(out.dtype)
+    assert out.shape == (5, 3, 200)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_expert_matmul_prefill_grid():
+    # m > one row block: exercises the (n_sel, nm>1, nn, nk) grid
+    q, pw, s = _bank(jax.random.PRNGKey(2), 3, 256, 256)
+    x = jax.random.normal(jax.random.PRNGKey(3), (130, 256), jnp.bfloat16)
+    eids = jnp.array([1, 0], jnp.int32)
+    out = w8a16_expert_matmul(x, pw, s, eids, interpret=True)
+    ref = expert_matmul_ref(x, q, s, eids).astype(out.dtype)
+    assert out.shape == (2, 130, 256)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_expert_matmul_int4_groupwise():
+    q, pw, s = _bank(jax.random.PRNGKey(4), 4, 192, 128, bits=4, group_size=64)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 192), jnp.bfloat16)
+    eids = jnp.array([3, 1, 1], jnp.int32)
+    out = w8a16_expert_matmul(x, pw, s, eids, interpret=True)
+    ref = expert_matmul_ref(x, q, s, eids).astype(out.dtype)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def _toy_moe(key, e=4, h=64, i=96, dtype=jnp.bfloat16) -> MoEMLP:
+    k1, k2, k3 = jax.random.split(key, 3)
+    from eetq_tpu.modules.linear import DenseLinear
+
+    return MoEMLP(
+        router=DenseLinear(
+            weight=jax.random.normal(k1, (h, e), jnp.float32).astype(dtype)
+        ),
+        gateup=DenseLinear(
+            weight=(jax.random.normal(k2, (e, h, 2 * i), jnp.float32) * h**-0.5
+                    ).astype(dtype)
+        ),
+        down=DenseLinear(
+            weight=(jax.random.normal(k3, (e, i, h), jnp.float32) * i**-0.5
+                    ).astype(dtype)
+        ),
+    )
+
+
+def test_moe_apply_gather_matches_scan_ref():
+    moe = quantize_moe(_toy_moe(jax.random.PRNGKey(0)))
+    # decode shape -> gather (scalar-prefetch) path
+    x1 = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 64), jnp.bfloat16)
+    got = moe_apply(moe, x1, 2, use_kernel=True)
+    ref = moe_apply(moe, x1, 2, use_kernel=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # prefill shape -> scan-kernel path
+    x2 = jax.random.normal(jax.random.PRNGKey(2), (2, 9, 64), jnp.bfloat16)
+    got2 = moe_apply(moe, x2, 2, use_kernel=True)
+    ref2 = moe_apply(moe, x2, 2, use_kernel=False)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))
+
+
+def test_moe_routing_combine_manual():
+    """The routed output equals the hand-built top-k softmax combine of
+    per-expert MLP oracles."""
+    moe_d = _toy_moe(jax.random.PRNGKey(7))
+    moe = quantize_moe(moe_d)
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 5, 64), jnp.bfloat16)
+    x2 = x.reshape(5, 64)
+    topw, topi = route(moe.router, x2, 2)
+    gu = unpack_weights(moe.gateup.qweight)
+    dn = unpack_weights(moe.down.qweight)
+    from eetq_tpu.kernels.w8a16 import w8a16_matmul_ref
+
+    want = np.zeros((5, 64), np.float32)
+    for t in range(5):
+        for j in range(2):
+            e = int(topi[t, j])
+            g_out = w8a16_matmul_ref(
+                x2[t : t + 1], gu[e], moe.gateup.scales[e]
+            ).astype(jnp.bfloat16)
+            gate, up = jnp.split(g_out, 2, axis=-1)
+            hidden = (
+                jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)
+            ).astype(jnp.bfloat16)
+            d_out = w8a16_matmul_ref(hidden, dn[e], moe.down.scales[e])
+            want[t] += float(topw[t, j]) * np.asarray(d_out, np.float32)[0]
+    got = np.asarray(moe_apply(moe, x, 2, use_kernel=False), np.float32)
+    np.testing.assert_allclose(got.reshape(5, 64), want, rtol=2e-2, atol=2e-2)
+
+
+def test_moe_model_prefill_decode_parity():
+    cfg = TOY_MOE
+    qp = quantize_params(random_dense_params(cfg, jax.random.PRNGKey(0)))
+    toks = jax.random.randint(jax.random.PRNGKey(3), (1, 8), 0, cfg.vocab_size)
+    pos = jnp.arange(8)[None]
+    full, _ = forward(qp, cfg, toks, pos, init_caches(cfg, 1, 32), 0)
+    l7, c7 = forward(qp, cfg, toks[:, :7], pos[:, :7], init_caches(cfg, 1, 32), 0)
+    l8, _ = forward(qp, cfg, toks[:, 7:], pos[:, 7:], c7, 7)
+    np.testing.assert_allclose(
+        np.asarray(full[:, 7]), np.asarray(l8[:, 0]), rtol=5e-2, atol=8e-2
+    )
+    assert int(jnp.argmax(full[:, 7])) == int(jnp.argmax(l8[:, 0]))
+
+
+def test_moe_engine_matches_generate():
+    from eetq_tpu.serve.engine import Engine
+    from eetq_tpu.serve.generate import generate
+
+    cfg = TOY_MOE
+    qp = quantize_params(random_dense_params(cfg, jax.random.PRNGKey(0)))
+    prompt = list(np.arange(10) % cfg.vocab_size)
+    out = generate(qp, cfg, jnp.asarray(prompt)[None], max_new_tokens=8)
+    eng = Engine(qp, cfg, max_batch=2, max_len=64)
+    uid = eng.add_request(prompt, max_new_tokens=8)
+    eng.run()
+    assert list(np.asarray(out)[0][:8]) == list(eng.result(uid)[:8])
+
+
+def test_moe_checkpoint_roundtrip():
+    from eetq_tpu.models.hf import load_quantized, save_quantized
+
+    cfg = TOY_MOE
+    qp = quantize_params(random_dense_params(cfg, jax.random.PRNGKey(0)))
+    with tempfile.TemporaryDirectory() as d:
+        save_quantized(qp, cfg, d)
+        cfg2, qp2 = load_quantized(d)
+    assert cfg2.num_experts == cfg.num_experts
+    assert cfg2.num_experts_per_tok == cfg.num_experts_per_tok
+    m1, m2 = qp.layers[0].moe, qp2.layers[0].moe
+    np.testing.assert_array_equal(
+        np.asarray(unpack_weights(m1.gateup.qweight)),
+        np.asarray(unpack_weights(m2.gateup.qweight)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unpack_weights(m1.down.qweight)),
+        np.asarray(unpack_weights(m2.down.qweight)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m1.router.weight, np.float16),
+        np.asarray(m2.router.weight, np.float16),
+    )
+    # fp16-rounded scales: bit-equal after the same rounding
+    np.testing.assert_array_equal(
+        np.asarray(m1.gateup.scales, np.float16),
+        np.asarray(m2.gateup.scales, np.float16),
+    )
+
+
+def test_moe_hf_fp16_checkpoint_load():
+    """A mixtral-named fp16 checkpoint (per-expert w1/w3/w2 + gate router)
+    loads and quantizes to the same params as quantizing the pytree
+    directly (the native host quantizer is bit-identical to the JAX one)."""
+    import json
+    import os
+
+    from safetensors.numpy import save_file
+
+    from eetq_tpu.models.hf import load_config, _source_from_dir, _build_params
+
+    cfg = TOY_MOE
+    dense = random_dense_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    tensors = {}
+    hq, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    for i, lp in enumerate(dense.layers):
+        pfx = f"model.layers.{i}"
+        qkv = np.asarray(lp.qkv.weight, np.float32)  # [H, (hq+2hkv)d]
+        q, k, v = np.split(qkv, [hq * d, (hq + hkv) * d], axis=-1)
+        tensors[f"{pfx}.self_attn.q_proj.weight"] = q.T.copy()
+        tensors[f"{pfx}.self_attn.k_proj.weight"] = k.T.copy()
+        tensors[f"{pfx}.self_attn.v_proj.weight"] = v.T.copy()
+        tensors[f"{pfx}.self_attn.o_proj.weight"] = np.asarray(
+            lp.o_proj.weight, np.float32
+        ).T.copy()
+        tensors[f"{pfx}.input_layernorm.weight"] = np.asarray(
+            lp.input_norm, np.float32
+        )
+        tensors[f"{pfx}.post_attention_layernorm.weight"] = np.asarray(
+            lp.post_norm, np.float32
+        )
+        moe = lp.moe
+        tensors[f"{pfx}.block_sparse_moe.gate.weight"] = np.asarray(
+            moe.router.weight, np.float32
+        ).T.copy()
+        gu = np.asarray(moe.gateup.weight, np.float32)  # [E, H, 2I]
+        dn = np.asarray(moe.down.weight, np.float32)  # [E, I, H]
+        isz = cfg.intermediate_size
+        for j in range(cfg.num_experts):
+            ex = f"{pfx}.block_sparse_moe.experts.{j}"
+            tensors[f"{ex}.w1.weight"] = gu[j, :, :isz].T.copy()
+            tensors[f"{ex}.w3.weight"] = gu[j, :, isz:].T.copy()
+            tensors[f"{ex}.w2.weight"] = dn[j].T.copy()
+    tensors["model.embed_tokens.weight"] = np.asarray(dense.embed, np.float32)
+    tensors["model.norm.weight"] = np.asarray(dense.final_norm, np.float32)
+    tensors["lm_head.weight"] = np.asarray(
+        dense.lm_head.weight, np.float32
+    ).T.copy()
+    hf_cfg = {
+        "model_type": "mixtral",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "head_dim": cfg.head_dim,
+        "max_position_embeddings": cfg.max_position,
+        "num_local_experts": cfg.num_experts,
+        "num_experts_per_tok": cfg.num_experts_per_tok,
+    }
+    with tempfile.TemporaryDirectory() as dd:
+        save_file(tensors, os.path.join(dd, "model.safetensors"))
+        with open(os.path.join(dd, "config.json"), "w") as f:
+            json.dump(hf_cfg, f)
+        cfg2, _ = load_config(dd)
+        assert cfg2.num_experts == cfg.num_experts
+        src = _source_from_dir(dd)
+        loaded = _build_params(src, cfg2, quantize=True, bits=8)
+    want = quantize_params(dense, bits=8)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_weights(loaded.layers[0].moe.gateup.qweight)),
+        np.asarray(unpack_weights(want.layers[0].moe.gateup.qweight)),
+    )
+    toks = jnp.arange(6)[None] % cfg.vocab_size
+    pos = jnp.arange(6)[None]
+    l_a, _ = forward(loaded, cfg, toks, pos, None, 0)
+    l_b, _ = forward(want, cfg, toks, pos, None, 0)
+    np.testing.assert_allclose(
+        np.asarray(l_a), np.asarray(l_b), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_moe_sharded_ep_parity():
+    """Expert parallelism: tp=2 shard_map forward (2 experts per device,
+    attention head-split on the same axis) matches single-device."""
+    from eetq_tpu.dist.sharding import make_forward_fn, make_mesh, shard_model
+
+    cfg = TOY_MOE
+    dense = random_dense_params(cfg, jax.random.PRNGKey(0))
+    qp = quantize_params(dense, bits=8)
+    toks = jax.random.randint(jax.random.PRNGKey(3), (2, 8), 0, cfg.vocab_size)
+    pos = jnp.broadcast_to(jnp.arange(8)[None], (2, 8))
+    ref, _ = forward(qp, cfg, toks, pos, init_caches(cfg, 2, 32), 0)
+
+    mesh = make_mesh(tp=2)
+    sm = shard_model(dense, cfg, mesh, quantize=True, bits=8)
+    fwd = make_forward_fn(sm)
+    sh, _ = fwd(sm.params, toks, pos, init_caches(cfg, 2, 32), jnp.int32(0))
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(sh), rtol=5e-2, atol=8e-2
+    )
+    assert np.array_equal(
+        np.argmax(np.asarray(ref)[:, -1], -1), np.argmax(np.asarray(sh)[:, -1], -1)
+    )
