@@ -124,11 +124,17 @@ def moe_apply(
 
     e_local = moe.num_local_experts
     n_sel = t * top_k
+    import os
+
     gather_ok = (
         quantized
         and use_kernel
         and tp_axis is None
         and n_sel <= min(MAX_DECODE_M, e_local)
+        # trace-time A/B knob: force the masked-scan path at decode shapes
+        # (streams ALL experts' bytes) — scripts/bench_moe.py uses it to
+        # measure the gather path's bandwidth win on hardware
+        and os.environ.get("EETQ_MOE_NO_GATHER", "0") != "1"
     )
     if gather_ok:
         # Decode regime: one scalar-prefetched kernel per projection streams
