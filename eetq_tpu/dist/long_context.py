@@ -134,6 +134,11 @@ def long_prefill(
         raise NotImplementedError("ring attention with ALiBi bias")
     if cfg.sliding_window is not None:
         raise NotImplementedError("ring attention with sliding window")
+    if any(lp.moe is not None for lp in params.layers):
+        raise NotImplementedError(
+            "ring attention (sequence-parallel prefill) not supported for "
+            "MoE layers"
+        )
     b, s = tokens.shape
     p = mesh.shape[axis_name]
     if s % p:

@@ -114,6 +114,11 @@ def shard_model_pp(
     each shard independently (per-shard scales — see dist.sharding's module
     docstring for why that is exact), and stack stage leaves on a leading
     [pp] axis sharded over `pipe`."""
+    if any(lp.moe is not None for lp in dense_params.layers):
+        raise NotImplementedError(
+            "MoE layers not supported with pipeline parallelism; use "
+            "TP/EP via dist.sharding.shard_model"
+        )
     pp = mesh.shape[PIPE_AXIS]
     tp = mesh.shape.get(MODEL_AXIS, 1)
     if cfg.num_layers % pp:

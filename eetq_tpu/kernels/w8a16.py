@@ -530,6 +530,104 @@ def w8a16_expert_matmul_kernel_call(
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "bits", "group_size", "interpret"),
+)
+def w8a16_grouped_matmul_kernel_call(
+    x: jax.Array,
+    w_packed_data: jax.Array,
+    scales: jax.Array,
+    block_expert: jax.Array,
+    config: MatmulConfig,
+    interpret: bool = False,
+    bits: int = 8,
+    group_size: int | None = None,
+) -> jax.Array:
+    """Token-grouped expert GEMM — the routed MoE PREFILL hot path.
+
+    The caller sorts the (token, expert) selections by expert and packs
+    their activation rows into `x` so every bm-row block belongs to ONE
+    expert, recorded in `block_expert` (MegaBlocks-style grouped GEMM,
+    static shapes). Shares `_expert_kernel_body` with the decode gather:
+    the only difference is that the row-block index (not a selection
+    index) drives the grid, so out[b*bm:(b+1)*bm] = x[b*bm:(b+1)*bm] @
+    dequant(bank[block_expert[b]]). Streams each selected expert's tiles
+    once per owning block — the routed-FLOPs path the masked scan (E/k
+    times the work) approximates from above.
+
+    x: [Mp, Kp] with Mp = nb * bm; w_packed_data: int8 [E, Kp, Np]
+    ([E, Kp/2, Np] int4); scales: [E, 1, Np] or [E, Gp, Np];
+    block_expert: [nb] int32 (garbage blocks must still carry a VALID
+    expert id — their rows are dropped by the caller). Returns [Mp, Np].
+    """
+    mp, kp = x.shape
+    np_ = w_packed_data.shape[-1]
+    kp_data = w_packed_data.shape[-2]
+    if bits == 4:
+        assert kp_data * 2 == kp, (x.shape, w_packed_data.shape)
+    else:
+        assert kp_data == kp, (x.shape, w_packed_data.shape)
+    bm, bn, bk = config.bm, config.bn, config.bk
+    nb = block_expert.shape[0]
+    assert mp == nb * bm and np_ % bn == 0 and kp_data % bk == 0, (
+        x.shape, w_packed_data.shape, config, nb,
+    )
+    nn, nk = np_ // bn, kp_data // bk
+
+    group_in_loop = None
+    s_rows = scales.shape[1]
+    if s_rows > 1:
+        g = kp // s_rows
+        if not (bk % g == 0 or g % bk == 0):
+            raise ValueError(f"group size {g} incompatible with bk {bk}")
+        if bits == 4 and bk % g != 0:
+            raise ValueError("int4 group-wise requires bk % group == 0")
+        group_in_loop = g
+
+    # grid (nb, 1, nn, nk): the leading dim is the ROW BLOCK; x blocks are
+    # indexed by it and the weight/scale blocks by its prefetched expert
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda s, i, j, k, eids: (s, k)),
+    ]
+    operands: list[jax.Array] = [x]
+    if bits == 4:
+        in_specs.append(
+            pl.BlockSpec((bm, bk), lambda s, i, j, k, eids, nk=nk: (s, k + nk))
+        )
+        operands.append(x)
+    in_specs.append(
+        pl.BlockSpec((1, bk, bn), lambda s, i, j, k, eids: (eids[s], k, j))
+    )
+    operands.append(w_packed_data)
+    in_specs.append(
+        pl.BlockSpec((1, s_rows, bn), lambda s, i, j, k, eids: (eids[s], 0, j))
+    )
+    operands.append(scales)
+
+    kernel = functools.partial(
+        _expert_kernel_body, nk, x.dtype, bits, group_in_loop
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb, 1, nn, nk),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, bm, bn), lambda s, i, j, k, eids: (s, i, j)
+            ),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, bm, np_), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(block_expert.astype(jnp.int32), *operands)
+    return out.reshape(mp, np_)
+
+
 def w8a16_matmul_ref(
     x: jax.Array,
     qweight: jax.Array,

@@ -30,10 +30,13 @@ from eetq_tpu.utils.logging import get_logger
 log = get_logger(__name__)
 
 # model_type -> supported (the reference's EETQ_CAUSAL_LM_MODEL_MAP,
-# auto.py:6-10, plus mistral and chatglm — the reference's chatglm fuser
-# is WIP/unregistered; here the family is fully implemented, r3)
+# auto.py:6-10, plus mistral/chatglm — the reference's chatglm fuser is
+# WIP/unregistered; here the family is fully implemented, r3 — and
+# mixtral, the routed-MoE runtime the reference's 3-D "num_experts"
+# quantization infrastructure never got (`fpA_intB_gemm_wrapper.cu:44-66`,
+# num_experts=1 hardcoded in the runner))
 SUPPORTED_MODEL_TYPES = (
-    "llama", "mistral", "gemma", "baichuan", "qwen2", "chatglm"
+    "llama", "mistral", "mixtral", "gemma", "baichuan", "qwen2", "chatglm"
 )
 
 
@@ -70,6 +73,12 @@ class EETQCausalLM:
             if tp > 1:
                 if group_size is not None:
                     raise ValueError("pass either tp or group_size, not both")
+                if any(lp.moe is not None for lp in self.params.layers):
+                    raise NotImplementedError(
+                        "quantize(tp>1) offline reshard doesn't support MoE "
+                        "layers; quantize with tp=1 and shard at runtime "
+                        "(EP via .shard())"
+                    )
                 from eetq_tpu.surgery.tp_reshard import quantize_params_tp
 
                 self.params = quantize_params_tp(

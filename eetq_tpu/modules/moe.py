@@ -26,6 +26,7 @@ without the runtime. This module is the runtime, TPU-native:
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +35,7 @@ from eetq_tpu.kernels.autotune import MAX_DECODE_M
 from eetq_tpu.kernels.w8a16 import w8a16_matmul_ref
 from eetq_tpu.layout import unpack_weights
 from eetq_tpu.modules.linear import DenseLinear, QuantLinear
-from eetq_tpu.ops.moe import w8a16_expert_matmul
+from eetq_tpu.ops.moe import w8a16_expert_matmul, w8a16_grouped_matmul
 from eetq_tpu.quant import symmetric_quantize
 
 _ACT = {"silu": jax.nn.silu, "gelu": jax.nn.gelu, "relu": jax.nn.relu}
@@ -100,6 +101,88 @@ def _gated(gu_out: jax.Array, activation: str, dtype) -> jax.Array:
     ).astype(dtype)
 
 
+def _grouped_bm(n_sel: int, e: int) -> int:
+    """Row-block size for the grouped prefill GEMM. 128 keeps the weight
+    stream compute-bound on the MXU (2*bm flops per int8 weight byte needs
+    bm >= ~120 at v5e's 197 TF/s / 819 GB/s); smaller prefills shrink bm
+    toward the balanced per-expert count so padding blocks stay bounded
+    (total blocks <= n_sel/bm + E, one partial block per expert)."""
+    per = n_sel // max(e, 1)
+    return max(8, min(128, 8 * (per // 8) or 8))
+
+
+def moe_grouped_combine(
+    moe: MoEMLP,
+    x2: jax.Array,  # [T, H]
+    topw: jax.Array,  # [T, k] f32
+    topi: jax.Array,  # [T, k] int32
+    activation: str,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Routed MoE prefill: token-grouped expert GEMM (MegaBlocks-style,
+    static shapes). Sort the (token, expert) selections by expert, pack
+    their activation rows into per-expert contiguous bm-row blocks, run
+    ONE grouped kernel per projection (each block's weight tiles are the
+    scalar-prefetched expert's), then un-sort and combine with the routing
+    weights. FLOPs are the ROUTED k/E fraction (+ <=1 padding block per
+    expert) instead of the masked scan's all-E dense compute — the prefill
+    counterpart of the decode gather's bandwidth win.
+
+    Returns [T, H] f32 (caller casts / reshapes)."""
+    t, h = x2.shape
+    top_k = topi.shape[-1]
+    e = moe.num_local_experts
+    n_sel = t * top_k
+    bm = _grouped_bm(n_sel, e)
+    nb = n_sel // bm + e  # static: <=1 partial block per expert
+
+    eids = topi.reshape(-1)  # [S]
+    order = jnp.argsort(eids, stable=True)  # sorted-selection -> selection
+    e_sorted = eids[order]
+    tok_sorted = order // top_k
+    counts = jnp.sum(
+        jax.nn.one_hot(eids, e, dtype=jnp.int32), axis=0
+    )  # [E]
+    group_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    nb_e = -(-counts // bm)  # ceil: blocks per expert
+    cum_nb = jnp.cumsum(nb_e)
+    block_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), cum_nb[:-1]]
+    )
+    blk = jnp.arange(nb, dtype=jnp.int32)
+    # block b belongs to the expert whose [block_start, block_start+nb_e)
+    # covers it; padding blocks past cum_nb[-1] clamp to a valid id (their
+    # rows are zero and never gathered back)
+    block_expert = jnp.minimum(
+        jnp.searchsorted(cum_nb, blk, side="right").astype(jnp.int32), e - 1
+    )
+    pos = jnp.arange(n_sel, dtype=jnp.int32) - group_start[e_sorted]
+    dest = block_start[e_sorted] * bm + pos  # [S] row in the packed buffer
+
+    xg = jnp.zeros((nb * bm, h), x2.dtype).at[dest].set(x2[tok_sorted])
+    gu = w8a16_grouped_matmul(
+        xg, moe.gateup.qweight, moe.gateup.scales, block_expert,
+        interpret=interpret,
+    )
+    hidden = _gated(gu, activation, x2.dtype)
+    dn = w8a16_grouped_matmul(
+        hidden, moe.down.qweight, moe.down.scales, block_expert,
+        interpret=interpret,
+    )
+    contrib_sorted = dn[dest]  # [S, H] in sorted-selection order
+    # un-sort (scatter-set via the inverse permutation), then the weighted
+    # per-token sum over k in the ORIGINAL top-k order
+    contrib = (
+        jnp.zeros_like(contrib_sorted).at[order].set(contrib_sorted)
+    ).astype(jnp.float32)
+    return jnp.sum(
+        contrib.reshape(t, top_k, h) * topw[..., None].astype(jnp.float32),
+        axis=1,
+    )
+
+
 def moe_apply(
     moe: MoEMLP,
     x: jax.Array,
@@ -124,18 +207,35 @@ def moe_apply(
 
     e_local = moe.num_local_experts
     n_sel = t * top_k
-    import os
-
     gather_ok = (
         quantized
         and use_kernel
         and tp_axis is None
         and n_sel <= min(MAX_DECODE_M, e_local)
-        # trace-time A/B knob: force the masked-scan path at decode shapes
-        # (streams ALL experts' bytes) — scripts/bench_moe.py uses it to
-        # measure the gather path's bandwidth win on hardware
+        # TRACE-TIME A/B knob (like EETQ_FUSED_MLP): read when the calling
+        # jit first traces — flipping it in-process after jit caching has
+        # no effect. Forces the masked-scan path at decode shapes (streams
+        # ALL experts' bytes); scripts/bench_moe.py uses it to measure the
+        # gather path's bandwidth win on hardware.
         and os.environ.get("EETQ_MOE_NO_GATHER", "0") != "1"
     )
+    grouped_ok = (
+        quantized
+        and use_kernel
+        and tp_axis is None
+        and not gather_ok
+        and n_sel > MAX_DECODE_M
+        # trace-time A/B knob: force the masked scan (all-E dense FLOPs)
+        # at prefill shapes — scripts/bench_moe.py measures the routed win
+        and os.environ.get("EETQ_MOE_NO_GROUPED", "0") != "1"
+        and os.environ.get("EETQ_MOE_NO_GATHER", "0") != "1"
+    )
+    if grouped_ok:
+        # Prefill regime: token-grouped expert GEMM — routed k/E FLOPs
+        out2 = moe_grouped_combine(
+            moe, x2, topw, topi, activation, interpret=interpret
+        )
+        return out2.astype(x.dtype).reshape(b, s, h)
     if gather_ok:
         # Decode regime: one scalar-prefetched kernel per projection streams
         # exactly the selected experts' weight tiles.

@@ -18,10 +18,13 @@ Endpoints:
   GET /health
     -> {"ok": true, "queued": n, "active": m}
 
-Token-id in / token-id out: tokenization stays with the client, exactly
-like the reference (its examples tokenize with HF AutoTokenizer and the
-model only ever sees ids). Pass `detokenize=` to map ids to text in the
-response if a tokenizer is available.
+Text or token ids in, both out: `"prompt"` may be a token-id list (the
+model only ever sees ids, like the reference's examples which tokenize
+with HF AutoTokenizer) or a STRING when the server holds a tokenizer —
+pass `tokenizer=` (a `serve.tokenizer.Tokenizer`, dependency-free
+`tokenizer.json` BPE, or anything with encode/decode) and responses and
+stream events carry incremental `"text"` alongside the ids. The legacy
+`detokenize=` callable is still honored for ids->text only.
 
 Design notes: the Engine is single-threaded by construction (one device
 program stream), so ALL engine access — admission, stepping, polling —
@@ -56,8 +59,11 @@ class EngineServer:
     """
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 8000,
-                 detokenize=None):
+                 detokenize=None, tokenizer=None):
         self.engine = engine
+        self.tokenizer = tokenizer
+        if detokenize is None and tokenizer is not None:
+            detokenize = tokenizer.decode
         self.detokenize = detokenize
         # One lock for every engine touch; handlers wait on the condition
         # and the scheduler notifies after each step commits tokens.
@@ -96,6 +102,14 @@ class EngineServer:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
                     prompt = req["prompt"]
+                    if isinstance(prompt, str):
+                        if outer.tokenizer is None:
+                            return self._json(400, {
+                                "error": "text prompts need a server-side "
+                                "tokenizer (EngineServer(tokenizer=...)); "
+                                "send token ids"
+                            })
+                        prompt = outer.tokenizer.encode(prompt)
                     kwargs = dict(
                         max_new_tokens=int(req.get("max_new_tokens", 16)),
                         temperature=float(req.get("temperature", 0.0)),
@@ -136,6 +150,8 @@ class EngineServer:
                     self.wfile.flush()
 
                 done = False
+                all_toks: list[int] = []
+                prev_text = ""
                 while not done:
                     with outer.cond:
                         outer.cond.wait_for(
@@ -149,7 +165,13 @@ class EngineServer:
                         toks, done = outer.engine.poll(uid)
                     ev = {"tokens": toks, "done": done}
                     if outer.detokenize is not None:
-                        ev["text"] = outer.detokenize(toks)
+                        # decode the WHOLE sequence and emit the delta, so
+                        # multi-token text (byte-fallback utf-8, merged
+                        # whitespace) split across windows stays correct
+                        all_toks.extend(toks)
+                        text = outer.detokenize(all_toks)
+                        ev["text"] = text[len(prev_text):]
+                        prev_text = text
                     chunk(b"data: " + json.dumps(ev).encode() + b"\n\n")
                 chunk(b"")  # terminating chunk
 

@@ -39,9 +39,18 @@ def eet_quantize(
     regexes (matched against the pytree path string)."""
     import jax
 
+    from eetq_tpu.modules.moe import MoEMLP, quantize_moe
+
     patterns = [re.compile(p) for p in exclude]
 
     def walk(path: str, obj: Any) -> Any:
+        if isinstance(obj, MoEMLP):
+            # router stays bf16 (its logits decide routing; quantizing it
+            # risks flipped top-k picks for ~zero bytes saved); expert
+            # banks quantize 3-D via quantize_moe
+            if isinstance(obj.gateup, QuantLinear):
+                return obj
+            return quantize_moe(obj, bits=bits, group_size=group_size)
         if isinstance(obj, DenseLinear):
             if any(p.search(path) for p in patterns):
                 return obj

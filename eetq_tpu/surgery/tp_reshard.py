@@ -53,6 +53,11 @@ def quantize_params_tp(
     per-channel. lm_head stays dense (reference exclusion,
     `utils/base.py:273-274`).
     """
+    if any(lp.moe is not None for lp in params.layers):
+        raise NotImplementedError(
+            "MoE layers not supported by the offline tp reshard; quantize "
+            "with tp=1 and shard at runtime (EP via dist.sharding)"
+        )
     if cfg.num_heads % tp or cfg.num_kv_heads % tp or cfg.intermediate_size % tp:
         raise ValueError(
             f"model dims (heads={cfg.num_heads}/{cfg.num_kv_heads}, "
@@ -167,6 +172,11 @@ def shard_quantized(
     same tp; otherwise still exact w.r.t. the stored integer weights."""
     from eetq_tpu.dist.sharding import MODEL_AXIS, ShardedModel
 
+    if any(lp.moe is not None for lp in params.layers):
+        raise NotImplementedError(
+            "shard_quantized doesn't support MoE layers yet; shard the "
+            "dense model with dist.sharding.shard_model(quantize=True) (EP)"
+        )
     tp = mesh.shape[MODEL_AXIS]
 
     def stack(qls: list[QuantLinear]):

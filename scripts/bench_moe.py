@@ -12,9 +12,13 @@ demonstrates on hardware:
   while the masked-scan path (EETQ_MOE_NO_GATHER=1) streams all E experts.
   The measured gap between the two IS the scalar-prefetch gather win.
 
+PREFILL is measured separately (best-of-reps): the routed grouped-GEMM
+path (token-sorted per-expert blocks, r5) computes ~k/E of the masked
+scan's dense FLOPs; EETQ_MOE_NO_GROUPED=1 forces the scan for the A/B.
+
 Env: EETQ_MOE_LAYERS (default 4), EETQ_MOE_PROMPT (1024),
 EETQ_MOE_NEW_TOKENS (50), EETQ_MOE_REPS (4), EETQ_MOE_NO_GATHER (0),
-EETQ_MOE_BITS (8).
+EETQ_MOE_NO_GROUPED (0), EETQ_MOE_BITS (8).
 """
 
 import dataclasses
@@ -140,6 +144,33 @@ def main():
     t0 = time.time()
     params = build_moe_params(cfg, bits)
     log(f"  built in {time.time() - t0:.1f}s")
+
+    # --- prefill (routed grouped-GEMM vs masked scan via the env knob) ---
+    from eetq_tpu.models.transformer import init_caches
+    from eetq_tpu.serve.generate import prefill
+
+    no_grouped = os.environ.get("EETQ_MOE_NO_GROUPED", "0") == "1"
+    prompt = jnp.ones((1, prompt_len), jnp.int32)
+    reps = int(os.environ["EETQ_BENCH_REPS"])
+    logits, _c = prefill(
+        params, cfg, prompt, init_caches(cfg, 1, prompt_len + new_tokens)
+    )
+    _fetch(logits)  # compile + warmup
+    del logits, _c
+    gc.collect()
+    prefill_s = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        logits, _c = prefill(
+            params, cfg, prompt, init_caches(cfg, 1, prompt_len + new_tokens)
+        )
+        _fetch(logits)
+        prefill_s = min(prefill_s, max(time.perf_counter() - t0 - sync_s, 1e-9))
+        del logits, _c
+        gc.collect()
+    prefill_path = "masked-scan" if (no_grouped or no_gather) else "grouped"
+    log(f"prefill ({prefill_path}): {prefill_s * 1e3:.1f} ms best-of-{reps}")
+
     res = bench_decode(params, cfg, 1, prompt_len, new_tokens, sync_s)
     routed_floor = roofline_ms(cfg, prompt_len, routed=True, bits=bits)
     all_floor = roofline_ms(cfg, prompt_len, routed=False, bits=bits)
@@ -155,7 +186,8 @@ def main():
         "routed_floor_ms": round(routed_floor, 2),
         "all_experts_floor_ms": round(all_floor, 2),
         "path": "masked-scan" if no_gather else "gather",
-        "prefill_s": res["prefill_s"],
+        "prefill_path": prefill_path,
+        "prefill_ms": round(prefill_s * 1e3, 1),
         "reps": int(os.environ["EETQ_BENCH_REPS"]),
     }))
 

@@ -60,6 +60,72 @@ def test_expert_matmul_int4_groupwise():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_grouped_matmul_matches_ref():
+    from eetq_tpu.ops.moe import grouped_matmul_ref, w8a16_grouped_matmul
+
+    q, pw, s = _bank(jax.random.PRNGKey(0), 4, 192, 256)
+    bm, nb = 8, 6
+    x = jax.random.normal(jax.random.PRNGKey(1), (nb * bm, 192), jnp.bfloat16)
+    be = jnp.array([0, 2, 2, 1, 3, 0], jnp.int32)
+    out = w8a16_grouped_matmul(x, pw, s, be, interpret=True)
+    ref = grouped_matmul_ref(x, q, s, be, bm).astype(out.dtype)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_grouped_matmul_int4_groupwise():
+    from eetq_tpu.ops.moe import grouped_matmul_ref, w8a16_grouped_matmul
+
+    q, pw, s = _bank(jax.random.PRNGKey(2), 4, 192, 256, bits=4, group_size=64)
+    bm, nb = 8, 5
+    x = jax.random.normal(jax.random.PRNGKey(3), (nb * bm, 192), jnp.bfloat16)
+    be = jnp.array([3, 1, 1, 0, 2], jnp.int32)
+    out = w8a16_grouped_matmul(x, pw, s, be, interpret=True)
+    ref = grouped_matmul_ref(x, q, s, be, bm).astype(out.dtype)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_moe_grouped_prefill_matches_scan():
+    """The routed grouped-GEMM prefill (token-sorted per-expert blocks)
+    matches the masked-scan oracle — including zero-token experts and
+    heavily imbalanced routing."""
+    import os
+
+    moe = quantize_moe(_toy_moe(jax.random.PRNGKey(0)))
+    for seed, t in ((5, 33), (6, 64), (7, 9)):
+        x = jax.random.normal(jax.random.PRNGKey(seed), (1, t, 64), jnp.bfloat16)
+        got = moe_apply(moe, x, 2, interpret=True)  # grouped path
+        os.environ["EETQ_MOE_NO_GROUPED"] = "1"
+        try:
+            want = moe_apply(moe, x, 2, interpret=True)  # masked scan
+        finally:
+            del os.environ["EETQ_MOE_NO_GROUPED"]
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+
+    # degenerate routing: a router bias that sends every token to expert 0
+    # and 1 (experts 2/3 get zero tokens, zero blocks)
+    import dataclasses as dc
+
+    from eetq_tpu.modules.linear import DenseLinear
+
+    rw = np.zeros((64, 4), np.float32)
+    rw[:, 0], rw[:, 1] = 5.0, 4.0
+    skewed = dc.replace(moe, router=DenseLinear(weight=jnp.asarray(rw, jnp.bfloat16)))
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 17, 64), jnp.bfloat16)
+    got = moe_apply(skewed, x, 2, interpret=True)
+    os.environ["EETQ_MOE_NO_GROUPED"] = "1"
+    try:
+        want = moe_apply(skewed, x, 2, interpret=True)
+    finally:
+        del os.environ["EETQ_MOE_NO_GROUPED"]
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
 def _toy_moe(key, e=4, h=64, i=96, dtype=jnp.bfloat16) -> MoEMLP:
     k1, k2, k3 = jax.random.split(key, 3)
     from eetq_tpu.modules.linear import DenseLinear
@@ -180,19 +246,14 @@ def test_moe_checkpoint_roundtrip():
     )
 
 
-def test_moe_hf_fp16_checkpoint_load():
-    """A mixtral-named fp16 checkpoint (per-expert w1/w3/w2 + gate router)
-    loads and quantizes to the same params as quantizing the pytree
-    directly (the native host quantizer is bit-identical to the JAX one)."""
+def _write_mixtral_dir(dense, cfg, dd):
+    """Write `dense` as a mixtral-named fp32 HF checkpoint directory
+    (per-expert w1/w3/w2 + gate router + llama-named attention)."""
     import json
     import os
 
     from safetensors.numpy import save_file
 
-    from eetq_tpu.models.hf import load_config, _source_from_dir, _build_params
-
-    cfg = TOY_MOE
-    dense = random_dense_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
     tensors = {}
     hq, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     for i, lp in enumerate(dense.layers):
@@ -241,10 +302,21 @@ def test_moe_hf_fp16_checkpoint_load():
         "num_local_experts": cfg.num_experts,
         "num_experts_per_tok": cfg.num_experts_per_tok,
     }
+    save_file(tensors, os.path.join(dd, "model.safetensors"))
+    with open(os.path.join(dd, "config.json"), "w") as f:
+        json.dump(hf_cfg, f)
+
+
+def test_moe_hf_fp16_checkpoint_load():
+    """A mixtral-named fp16 checkpoint (per-expert w1/w3/w2 + gate router)
+    loads and quantizes to the same params as quantizing the pytree
+    directly (the native host quantizer is bit-identical to the JAX one)."""
+    from eetq_tpu.models.hf import load_config, _source_from_dir, _build_params
+
+    cfg = TOY_MOE
+    dense = random_dense_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
     with tempfile.TemporaryDirectory() as dd:
-        save_file(tensors, os.path.join(dd, "model.safetensors"))
-        with open(os.path.join(dd, "config.json"), "w") as f:
-            json.dump(hf_cfg, f)
+        _write_mixtral_dir(dense, cfg, dd)
         cfg2, _ = load_config(dd)
         assert cfg2.num_experts == cfg.num_experts
         src = _source_from_dir(dd)
@@ -261,6 +333,49 @@ def test_moe_hf_fp16_checkpoint_load():
     np.testing.assert_allclose(
         np.asarray(l_a), np.asarray(l_b), rtol=2e-2, atol=2e-2
     )
+
+
+def test_mixtral_public_api_end_to_end():
+    """VERDICT r4 #2: the full public workflow on the MoE family —
+    AutoEETQForCausalLM.from_pretrained(mixtral_dir) -> quantize(save_dir)
+    -> from_quantized -> Engine.add_request -> tokens, all through public
+    symbols (reference: one registry dispatches every supported family,
+    `python/eetq/models/auto.py:6-32`)."""
+    import os
+
+    from eetq_tpu import AutoEETQForCausalLM
+    from eetq_tpu.serve.engine import Engine
+
+    cfg = TOY_MOE
+    dense = random_dense_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    with tempfile.TemporaryDirectory() as dd:
+        _write_mixtral_dir(dense, cfg, dd)
+        model = AutoEETQForCausalLM.from_pretrained(dd)
+        assert model.cfg.model_type == "mixtral"
+        assert model.cfg.num_experts == cfg.num_experts
+        assert not model.quantized
+
+        qdir = os.path.join(dd, "quantized")
+        model.quantize(qdir)  # eet_quantize walk: MoEMLP banks, bf16 router
+        assert model.quantized
+        from eetq_tpu.modules.linear import DenseLinear as DL
+
+        assert isinstance(model.params.layers[0].moe.router, DL)
+
+        served = AutoEETQForCausalLM.from_quantized(qdir)
+        assert served.quantized
+        # roundtrip is bit-exact on the integer weights
+        np.testing.assert_array_equal(
+            np.asarray(unpack_weights(model.params.layers[0].moe.gateup.qweight)),
+            np.asarray(unpack_weights(served.params.layers[0].moe.gateup.qweight)),
+        )
+
+        prompt = list(np.arange(10) % cfg.vocab_size)
+        want = served.generate(jnp.asarray(prompt)[None], max_new_tokens=8)
+        eng = Engine(served.params, served.cfg, max_batch=2, max_len=64)
+        uid = eng.add_request(prompt, max_new_tokens=8)
+        eng.run()
+        assert list(np.asarray(want)[0][:8]) == list(eng.result(uid)[:8])
 
 
 def test_moe_sharded_ep_parity():
