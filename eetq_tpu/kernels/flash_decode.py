@@ -242,9 +242,12 @@ def paged_flash_decode(
     logical L-block li of row b maps to PHYSICAL pool block
     table[b, min(li, last_valid)], so only the ceil(length/bs) blocks a row
     actually owns are ever DMA'd, wherever they sit in the pool. The
-    L-block size is the pool's block_size (whole pool blocks)."""
+    L-block size is the pool's block_size (whole pool blocks).
+
+    S == 1 is the decode step; S > 1 is the MULTI-QUERY verify step
+    (speculative decoding over paged caches) — same per-row-causal masking
+    and bitwise-vs-sequential guarantee as the dense `flash_decode`."""
     b, s, hq, d = q.shape
-    assert s == 1, "paged_flash_decode is the single-token path"
     nb_pool, hkv, bs, _ = cache.k.shape
     group = hq // hkv
     nl = cache.table.shape[1]  # logical blocks per sequence
@@ -261,7 +264,13 @@ def paged_flash_decode(
     nh = hkv // bh
 
     lengths = jnp.broadcast_to(jnp.asarray(lengths, jnp.int32).reshape(-1), (b,))
-    qg = q[:, 0].reshape(b, hkv, group, d)
+    # row layout per kv head: (group member, query index), query fastest —
+    # identical to the dense multi-query path (s == 1 collapses to [.., G, d])
+    qg = (
+        q.reshape(b, s, hkv, group, d)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(b, hkv, group * s, d)
+    )
     quantized = cache.quantized
 
     # pools have no batch dim; a leading [1] axis keeps the same per-block
@@ -271,7 +280,7 @@ def paged_flash_decode(
         return 0, tbl[bb, jnp.minimum(li, last)], h, 0, 0
 
     in_specs = [
-        pl.BlockSpec((1, bh, group, d),
+        pl.BlockSpec((1, bh, group * s, d),
                      lambda bb, h, li, lens, tbl: (bb, h, 0, 0)),
         pl.BlockSpec((1, 1, bh, bs, d), kv_map_pool),
         pl.BlockSpec((1, 1, bh, bs, d), kv_map_pool),
@@ -302,9 +311,10 @@ def paged_flash_decode(
         operands.append(slopes.astype(jnp.float32).reshape(1, hq))
 
     kernel = functools.partial(
-        _fd_kernel, nl, bs, bh, scale, window, quantized, alibi, paged=True
+        _fd_kernel, nl, bs, bh, scale, window, quantized, alibi, paged=True,
+        sq=s,
     )
-    srows = max(bh * group, 8)
+    srows = max(bh * group * s, 8)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -312,7 +322,8 @@ def paged_flash_decode(
             grid=(b, nh, nl),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, bh, group, d), lambda bb, h, li, lens, tbl: (bb, h, 0, 0)
+                (1, bh, group * s, d),
+                lambda bb, h, li, lens, tbl: (bb, h, 0, 0),
             ),
             scratch_shapes=[
                 pltpu.VMEM((srows, 128), jnp.float32),
@@ -320,13 +331,17 @@ def paged_flash_decode(
                 pltpu.VMEM((srows, d), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, group * s, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(lengths, cache.table, *operands)
-    return out.reshape(b, 1, hq, d)
+    return (
+        out.reshape(b, hkv, group, s, d)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(b, s, hq, d)
+    )
 
 
 @functools.partial(

@@ -382,13 +382,27 @@ def attention(
     if cache is not None and type(cache).__name__ == "PagedKVCache":
         # paged decode (modules.paged): scatter-write through the block
         # table, then the paged flash-decode kernel / gather oracle
-        from eetq_tpu.modules.paged import paged_attention_decode, paged_write
+        from eetq_tpu.modules.paged import (
+            paged_attention_decode,
+            paged_attention_verify,
+            paged_write,
+            paged_write_multi,
+        )
 
-        if s != 1:
+        if s != 1 and not verify:
             raise NotImplementedError(
                 "paged caches serve decode; prefill runs on the dense "
                 "scratch and hands off via paged_insert_dense"
             )
+        if s != 1:
+            # speculative-decode verify over the paged pool: S writes
+            # through the table, then the multi-query paged kernel
+            cache = paged_write_multi(cache, k_new, v_new, offset)
+            out = paged_attention_verify(
+                q, cache, jnp.asarray(offset, jnp.int32) + s, window=window,
+                use_kernel=decode_kernel, slopes=slopes,
+            )
+            return out, cache
         cache = paged_write(cache, k_new, v_new, offset)
         out = paged_attention_decode(
             q, cache, jnp.asarray(offset) + 1, window=window,

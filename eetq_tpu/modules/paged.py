@@ -125,6 +125,52 @@ def paged_write(
     return out
 
 
+def paged_write_multi(
+    cache: PagedKVCache, k_new: jax.Array, v_new: jax.Array, pos
+) -> PagedKVCache:
+    """Write S tokens per row at per-row positions pos..pos+S-1 (the
+    speculative-decode verify write). k_new/v_new [B, S, Hkv, D]; pos [B]
+    (or scalar). S is static and small (k+1 <= 8): S batched scatters,
+    each crossing block boundaries correctly through the table."""
+    s = k_new.shape[1]
+    base = jnp.asarray(pos, jnp.int32)
+    for i in range(s):
+        cache = paged_write(
+            cache, k_new[:, i : i + 1], v_new[:, i : i + 1], base + i
+        )
+    return cache
+
+
+def paged_attention_verify(
+    q: jax.Array,
+    cache: PagedKVCache,
+    lengths,
+    window: int | None = None,
+    use_kernel: bool | None = None,
+    slopes: jax.Array | None = None,
+) -> jax.Array:
+    """Multi-query verify over a paged cache. q [B, S, Hq, D]; lengths [B]
+    valid positions INCLUDING the S verify tokens (query row i of row b
+    sits at lengths[b] - S + i, per-row causal)."""
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if use_kernel:
+        from eetq_tpu.kernels.flash_decode import paged_flash_decode
+
+        return paged_flash_decode(
+            q, cache, lengths, window=window, scale=scale, slopes=slopes
+        )
+    from eetq_tpu.modules.attention import attention_verify_ref
+
+    max_len = cache.table.shape[1] * cache.block_size
+    dense = paged_gather_dense(cache, max_len)
+    return attention_verify_ref(
+        q, dense, jnp.asarray(lengths, jnp.int32), window, scale,
+        slopes=slopes,
+    )
+
+
 def paged_insert_dense(
     cache: PagedKVCache, dense: KVCache, src_row, blocks, n_blocks: int
 ) -> PagedKVCache:

@@ -254,6 +254,19 @@ class _ShardedBackend:
     def prefill_rows(self) -> int:
         return self.dp
 
+    @staticmethod
+    def fetch(arr):
+        """Device result -> full host numpy. Under a MULTI-PROCESS mesh a
+        data-sharded output is not fully addressable, so every process
+        allgathers it (all processes run the same schedule, so each needs
+        every row to keep the host-side slot state in lockstep — the
+        cross-host continuous-batching contract, BASELINE config 5)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+        return np.asarray(arr)
+
     def place_caches(self, caches):
         """Place KV caches with the mesh sharding (heads over the model
         axis) so slot-insertion ops see consistently-sharded operands."""
@@ -394,6 +407,10 @@ class _LocalBackend:
 
     def slots_for_row(self, row: int, max_batch: int) -> range:
         return range(max_batch)  # single device: any slot
+
+    @staticmethod
+    def fetch(arr):
+        return np.asarray(arr)
 
     def place_caches(self, caches):
         return caches
@@ -724,14 +741,8 @@ class Engine:
                 raise ValueError("spec_ngram must be in [1, 7] (the k+1-"
                                  "token verify must stay in the m<=8 "
                                  "decode regime)")
-            if self.paged:
-                raise ValueError("spec_ngram is dense-cache only for now")
             if isinstance(self._backend, _ShardedBackend):
                 raise ValueError("spec_ngram is local-backend only for now")
-            if self._lora_banked:
-                raise ValueError(
-                    "spec_ngram does not compose with banked LoRA yet"
-                )
         # prefill_chunk: prompts whose bucket exceeds this prefill one
         # chunk per scheduler step (decode advances BETWEEN chunks —
         # bounded head-of-line latency for running slots). Local backend
@@ -1032,7 +1043,8 @@ class Engine:
             if isinstance(self._backend, _ShardedBackend):
                 # explicit-sharding meshes refuse mixing the data-sharded
                 # logits with replicated sampling params — fetch first
-                logits = jnp.asarray(np.asarray(logits))
+                # (allgathered under a multi-process mesh)
+                logits = jnp.asarray(self._backend.fetch(logits))
             first_np = np.asarray(
                 _sample_rows_jit(
                     logits, sub, jnp.asarray(temps_np), jnp.asarray(topks_np),
@@ -1137,6 +1149,14 @@ class Engine:
         from eetq_tpu.serve.spec import ngram_spec_window
 
         k = self.spec_ngram
+        if self.paged:
+            # verify rounds write KV up to position lengths + window-1 + k
+            # per row; cover every committed position (<= lengths + window)
+            # AND the draft overshoot so no accepted token's KV lands in
+            # the trash block
+            for i in active:
+                self._alloc_blocks(i, int(self.lengths[i]) + window + k + 1)
+            self._sync_tables()
         hist_len = self.max_len + window + 2 * k + 2
         hist = np.zeros((self.max_batch, hist_len), np.int32)
         valid = np.full((self.max_batch,), 2, np.int32)
@@ -1145,6 +1165,7 @@ class Engine:
             toks = req.prompt + req.out_tokens
             hist[i, : len(toks)] = toks
             valid[i] = len(toks)  # == lengths[i] + 1
+        lids = jnp.asarray(self.lora_ids) if self._lora_banked else None
         out, counts, self.caches, _rounds = ngram_spec_window(
             self.params,
             self.cfg,
@@ -1155,6 +1176,7 @@ class Engine:
             self.caches,
             window,
             k,
+            lora_ids=lids,
         )
         out_np = np.asarray(out)  # the window's single host fetch
         counts_np = np.asarray(counts)
@@ -1301,7 +1323,7 @@ class Engine:
                     )
                 )
                 parts.append(toks)
-            toks_np = np.asarray(
+            toks_np = self._backend.fetch(
                 parts[0] if chain == 1 else jnp.concatenate(parts, axis=1)
             )  # [B, window * chain] — the chain's single host fetch
             for i in active:
@@ -1318,6 +1340,11 @@ class Engine:
         logits, self.caches = self._backend.decode(
             tokens, lengths, self.caches, lora_ids=lids
         )
+        if isinstance(self._backend, _ShardedBackend) and jax.process_count() > 1:
+            # multi-process: the data-sharded logits can't feed the local
+            # sampler directly — allgather first (identical on every
+            # process, so the sampled tokens stay in lockstep)
+            logits = jnp.asarray(self._backend.fetch(logits))
         self._key, sub = jax.random.split(self._key)
         # one sampler for both cases (zero temps == greedy) so a sampling
         # fix can never make the single-step and windowed paths disagree

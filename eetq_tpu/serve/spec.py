@@ -58,15 +58,107 @@ from eetq_tpu.models.transformer import forward_inner, init_caches
 from eetq_tpu.serve.generate import prefill
 
 
-def _verify_forward(params, cfg, tokens, start, caches, fused_mlp=None):
+def _verify_forward(params, cfg, tokens, start, caches, fused_mlp=None,
+                    lora_idx=None):
     """tokens [B, S] at per-row positions start..start+S-1 (start [B]).
     Returns (logits [B, S, V], caches)."""
     s = tokens.shape[1]
     positions = start[:, None] + jnp.arange(s, dtype=jnp.int32)[None]
     return forward_inner(
         params, cfg, tokens, positions, caches, start, verify=True,
-        fused_mlp=fused_mlp,
+        fused_mlp=fused_mlp, lora_idx=lora_idx,
     )
+
+
+def _sample_pos(logits, emit_idx, key, temperature: float, top_k: int):
+    """Positional sampling: token for (row r, emission index i) is drawn
+    from categorical(logits / T) with PRNG key fold_in(fold_in(key, i), r).
+
+    Randomness is keyed by POSITION, not by draw order — so a sequential
+    decode and a speculative decode that evaluate the same (row, index)
+    draw the SAME token. This is what makes sampled speculation exact
+    token-for-token (accept a draft iff it equals the target's positional
+    sample), the sampled counterpart of greedy exact-match acceptance.
+
+    logits [B, S, V]; emit_idx [B, S] int32. Returns [B, S] int32."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    b, s, v = logits.shape
+    scaled = logits.astype(jnp.float32) / temperature
+    if top_k > 0:
+        kth = jax.lax.top_k(scaled, top_k)[0][..., -1:]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    rows = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[:, None], (b, s)
+    ).reshape(-1)
+    idxs = emit_idx.reshape(-1).astype(jnp.int32)
+
+    def draw(lg, i, r):
+        kk = jax.random.fold_in(jax.random.fold_in(key, i), r)
+        return jax.random.categorical(kk, lg)
+
+    toks = jax.vmap(draw)(scaled.reshape(-1, v), idxs, rows)
+    return toks.reshape(b, s).astype(jnp.int32)
+
+
+def positional_generate(
+    params,
+    cfg,
+    prompt: jax.Array,
+    max_new_tokens: int,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    key: jax.Array | None = None,
+    kv_dtype=jnp.bfloat16,
+    fused_mlp: bool | None = None,
+):
+    """Plain SEQUENTIAL decode with positional sampling (`_sample_pos`) —
+    the parity oracle for sampled speculation: `spec_generate(...)` /
+    `ngram_spec_generate(...)` with the same key/temperature/top_k emit
+    exactly this token sequence."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    b, s = prompt.shape
+    caches = init_caches(cfg, b, s + max_new_tokens, dtype=kv_dtype)
+    logits, caches = prefill(params, cfg, prompt, caches)
+    tok = _sample_pos(
+        logits[:, None], jnp.zeros((b, 1), jnp.int32), key, temperature,
+        top_k,
+    )[:, 0]
+    return _positional_decode_loop(
+        params, cfg, tok, jnp.int32(s), caches, max_new_tokens,
+        temperature, top_k, key, fused_mlp,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_steps", "temperature", "top_k", "fused_mlp"),
+    donate_argnames=("caches",),
+)
+def _positional_decode_loop(params, cfg, first_token, start_pos, caches,
+                            num_steps: int, temperature: float, top_k: int,
+                            key, fused_mlp):
+    b = first_token.shape[0]
+
+    def body(carry, i):
+        token, caches = carry
+        pos = (start_pos + i).astype(jnp.int32)
+        logits, caches = forward_inner(
+            params, cfg, token[:, None],
+            jnp.broadcast_to(pos, (b, 1)), caches, pos, fused_mlp=fused_mlp,
+        )
+        nxt = _sample_pos(
+            logits[:, -1][:, None],
+            jnp.full((b, 1), i + 1, jnp.int32),
+            key, temperature, top_k,
+        )[:, 0]
+        return (nxt, caches), nxt
+
+    (_, caches), toks = jax.lax.scan(
+        body, (first_token, caches), jnp.arange(num_steps - 1, dtype=jnp.int32)
+    )
+    return jnp.concatenate([first_token[:, None], toks.T], axis=1)
 
 
 def _accept_and_emit(drafts, g, t_in, last_col_limit, n, out, k):
@@ -93,7 +185,8 @@ def _accept_and_emit(drafts, g, t_in, last_col_limit, n, out, k):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg_t", "cfg_d", "num_steps", "k", "fused_mlp"),
+    static_argnames=("cfg_t", "cfg_d", "num_steps", "k", "fused_mlp",
+                     "temperature", "top_k"),
     donate_argnames=("t_caches", "d_caches"),
 )
 def spec_decode_loop(
@@ -101,7 +194,7 @@ def spec_decode_loop(
     d_params,
     cfg_t,
     cfg_d,
-    first_token,  # [B] greedy token from the target's prefill logits
+    first_token,  # [B] target token from the prefill logits
     prev_token,  # [B] last prompt token (position start_pos - 1)
     start_pos,  # scalar int: position of first_token
     t_caches,
@@ -109,11 +202,15 @@ def spec_decode_loop(
     num_steps: int,
     k: int = 7,
     fused_mlp: bool | None = None,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    sample_key: jax.Array | None = None,
 ):
     """Whole speculative decode as ONE compiled while_loop program.
 
-    Returns (tokens [B, num_steps] — exactly the target's greedy sequence,
-    first_token included — plus stats (rounds, accepted-draft total))."""
+    Returns (tokens [B, num_steps] — exactly the target's greedy (or
+    positionally-sampled, temperature > 0) sequence, first_token included —
+    plus stats (rounds, accepted-draft total))."""
     b = first_token.shape[0]
     width = num_steps + k + 1  # slack so frozen rows scribble out of range
     out0 = jnp.zeros((b, width), jnp.int32).at[:, 0].set(first_token)
@@ -154,7 +251,10 @@ def spec_decode_loop(
         logits, t_caches = _verify_forward(
             t_params, cfg_t, t_in, p, t_caches, fused_mlp=fused_mlp
         )
-        g = jnp.argmax(logits, -1).astype(jnp.int32)  # [B, k+1]
+        # target tokens for emission indices n..n+k (positional sampling;
+        # temperature == 0 reduces to argmax)
+        emit_idx = n[:, None] + jnp.arange(k + 1, dtype=jnp.int32)[None]
+        g = _sample_pos(logits, emit_idx, sample_key, temperature, top_k)
 
         # 4. accept + emit
         last, prev, adv, a, out, _ = _accept_and_emit(
@@ -182,20 +282,32 @@ def spec_generate(
     kv_dtype=jnp.bfloat16,
     fused_mlp: bool | None = None,
     return_stats: bool = False,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    key: jax.Array | None = None,
 ):
-    """Greedy speculative generation with a draft model. Output is exactly
-    `greedy_generate(t_params, cfg_t, prompt, max_new_tokens)`. k=7 keeps
-    the verify step at m=8, the top of the decode-GEMV regime."""
+    """Speculative generation with a draft model. Greedy (temperature 0):
+    output is exactly `greedy_generate(t_params, cfg_t, prompt, n)`.
+    Sampled (temperature > 0): output is exactly
+    `positional_generate(t_params, cfg_t, prompt, n, temperature, top_k,
+    key)` — positional PRNG makes acceptance exact (see `_sample_pos`).
+    k=7 keeps the verify step at m=8, the top of the decode-GEMV regime."""
     b, s = prompt.shape
+    if key is None:
+        key = jax.random.PRNGKey(0)
     max_len = s + max_new_tokens + 2 * k + 1  # slack for frozen-row writes
     t_caches = init_caches(cfg_t, b, max_len, dtype=kv_dtype)
     d_caches = init_caches(cfg_d, b, max_len, dtype=kv_dtype)
     t_logits, t_caches = prefill(t_params, cfg_t, prompt, t_caches)
     _, d_caches = prefill(d_params, cfg_d, prompt, d_caches)
-    first = jnp.argmax(t_logits, -1).astype(jnp.int32)
+    first = _sample_pos(
+        t_logits[:, None], jnp.zeros((b, 1), jnp.int32), key, temperature,
+        top_k,
+    )[:, 0]
     toks, stats = spec_decode_loop(
         t_params, d_params, cfg_t, cfg_d, first, prompt[:, -1], s,
         t_caches, d_caches, max_new_tokens, k=k, fused_mlp=fused_mlp,
+        temperature=temperature, top_k=top_k, sample_key=key,
     )
     if return_stats:
         return toks, {"rounds": int(stats[0]), "accepted_drafts": int(stats[1])}
@@ -232,7 +344,8 @@ def _ngram_match(hist, valid, last, k: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "num_steps", "k", "fused_mlp"),
+    static_argnames=("cfg", "num_steps", "k", "fused_mlp", "temperature",
+                     "top_k"),
     donate_argnames=("caches",),
 )
 def ngram_spec_decode_loop(
@@ -245,6 +358,9 @@ def ngram_spec_decode_loop(
     num_steps: int,
     k: int = 7,
     fused_mlp: bool | None = None,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    sample_key: jax.Array | None = None,
 ):
     """Prompt-lookup speculative decode: drafts come from matching the
     current bigram against the prompt + generated history (device-side).
@@ -270,7 +386,8 @@ def ngram_spec_decode_loop(
         logits, caches = _verify_forward(
             params, cfg, t_in, p, caches, fused_mlp=fused_mlp
         )
-        g = jnp.argmax(logits, -1).astype(jnp.int32)
+        emit_idx = n[:, None] + jnp.arange(k + 1, dtype=jnp.int32)[None]
+        g = _sample_pos(logits, emit_idx, sample_key, temperature, top_k)
 
         last, _, adv, a, out, _ = _accept_and_emit(
             drafts, g, t_in, num_steps, n, out, k
@@ -302,6 +419,7 @@ def ngram_spec_window(
     window: int,
     k: int = 7,
     fused_mlp: bool | None = None,
+    lora_ids=None,
 ):
     """One ENGINE decode window of n-gram speculative rounds (the
     continuous-batching counterpart of `ngram_spec_decode_loop`).
@@ -329,7 +447,8 @@ def ngram_spec_window(
         drafts = _ngram_match(hist, valid, last, k)
         t_in = jnp.concatenate([last[:, None], drafts], axis=1)
         logits, caches = _verify_forward(
-            params, cfg, t_in, lengths + m, caches, fused_mlp=fused_mlp
+            params, cfg, t_in, lengths + m, caches, fused_mlp=fused_mlp,
+            lora_idx=lora_ids,
         )
         g = jnp.argmax(logits, -1).astype(jnp.int32)
         last, _, adv, a, out, em = _accept_and_emit(
@@ -365,17 +484,28 @@ def ngram_spec_generate(
     kv_dtype=jnp.bfloat16,
     fused_mlp: bool | None = None,
     return_stats: bool = False,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    key: jax.Array | None = None,
 ):
-    """Greedy prompt-lookup speculative generation (draft-free). Output is
-    exactly the target's greedy decode."""
+    """Prompt-lookup speculative generation (draft-free). Greedy output is
+    exactly the target's greedy decode; sampled (temperature > 0) output
+    is exactly `positional_generate` with the same key (see
+    `_sample_pos`)."""
     b, s = prompt.shape
+    if key is None:
+        key = jax.random.PRNGKey(0)
     max_len = s + max_new_tokens + 2 * k + 1
     caches = init_caches(cfg, b, max_len, dtype=kv_dtype)
     logits, caches = prefill(params, cfg, prompt, caches)
-    first = jnp.argmax(logits, -1).astype(jnp.int32)
+    first = _sample_pos(
+        logits[:, None], jnp.zeros((b, 1), jnp.int32), key, temperature,
+        top_k,
+    )[:, 0]
     toks, stats = ngram_spec_decode_loop(
         params, cfg, prompt, first, s, caches, max_new_tokens, k=k,
-        fused_mlp=fused_mlp,
+        fused_mlp=fused_mlp, temperature=temperature, top_k=top_k,
+        sample_key=key,
     )
     if return_stats:
         return toks, {"rounds": int(stats[0]), "accepted_drafts": int(stats[1])}

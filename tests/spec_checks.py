@@ -31,7 +31,7 @@ import numpy as np
 
 from eetq_tpu.models import ModelConfig, quantize_params, random_dense_params
 from eetq_tpu.serve.generate import greedy_generate
-from eetq_tpu.serve.spec import spec_generate
+from eetq_tpu.serve.spec import positional_generate, spec_generate
 
 TINY = ModelConfig(
     vocab_size=256,
@@ -92,6 +92,23 @@ def check_batch_rows_diverge(quant_params, draft_params, rng):
     print("BATCH-DIVERGE PARITY OK", flush=True)
 
 
+def check_sampled_draft_exact_parity(quant_params, draft_params, rng):
+    """SAMPLED draft-model speculation: positional PRNG makes the output
+    exactly the plain positionally-sampled decode with the same key."""
+    prompt = _tokens(rng, 2, 8)
+    n = 12
+    key = jax.random.PRNGKey(11)
+    ref = positional_generate(
+        quant_params, TINY, prompt, n, temperature=0.8, top_k=5, key=key
+    )
+    toks = spec_generate(
+        quant_params, TINY, draft_params, TINY, prompt, n, k=3,
+        temperature=0.8, top_k=5, key=key,
+    )
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+    print("SAMPLED-DRAFT PARITY OK", flush=True)
+
+
 if __name__ == "__main__":
     only = sys.argv[1] if len(sys.argv) > 1 else "all"
     dense = random_dense_params(TINY, jax.random.PRNGKey(3), dtype=jnp.float32)
@@ -105,4 +122,6 @@ if __name__ == "__main__":
         check_int4_draft_exact_parity(qp, dp, np.random.default_rng(0))
     if only in ("all", "diverge"):
         check_batch_rows_diverge(qp, dp, np.random.default_rng(0))
+    if only in ("all", "sampled"):
+        check_sampled_draft_exact_parity(qp, dp, np.random.default_rng(0))
     print("ALL SPEC CHECKS PASS", flush=True)

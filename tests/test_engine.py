@@ -504,12 +504,25 @@ def test_spec_engine_eos_mid_window(params):
 def test_spec_engine_validation(params):
     with pytest.raises(ValueError):
         Engine(params, CFG, max_batch=1, max_len=64, spec_ngram=9)
-    with pytest.raises(ValueError):
-        Engine(params, CFG, max_batch=1, max_len=64, spec_ngram=3,
-               paged_blocks=4)
     eng = Engine(params, CFG, max_batch=1, max_len=64, spec_ngram=3)
     with pytest.raises(ValueError):
         eng.add_request([1, 2], 4, temperature=0.7, top_k=4)
+
+
+def test_spec_engine_paged_matches_generate(params):
+    """spec × paged KV (r5): the speculative window's verify rides the
+    multi-query PAGED flash-decode path (writes through the block table,
+    per-row causal attention over pool blocks) and stays token-for-token
+    greedy-exact — including slot recycling through the block allocator."""
+    prompts = [[3, 17, 42, 9, 3, 17], [11] * 10, [5, 6, 7], [2, 4, 6, 8]]
+    budgets = [12, 5, 8, 6]
+    eng = Engine(params, CFG, max_batch=2, max_len=64,
+                 prompt_buckets=(4, 16), decode_window=4, spec_ngram=3,
+                 paged_blocks=12, paged_block_size=128)
+    uids = [eng.add_request(p, n) for p, n in zip(prompts, budgets)]
+    eng.run()
+    for uid, p, n in zip(uids, prompts, budgets):
+        assert eng.result(uid) == _ref_greedy(params, p, n), (p, n)
 
 
 def test_spec_engine_streaming_poll(params):

@@ -120,6 +120,26 @@ def test_engine_mixed_adapters_match_singles(bank_and_singles):
         assert eng.result(u) == list(want), (i, eng.result(u), list(want))
 
 
+def test_spec_engine_banked_adapters(bank_and_singles):
+    """spec × banked LoRA (r5): the n-gram speculative window's verify
+    forward applies each row's own adapter (lora_ids ride into the
+    while_loop), so a mixed-adapter spec engine reproduces per-adapter
+    greedy generate()."""
+    bank, singles = bank_and_singles
+    prompts = [[3, 17, 42, 9, 3, 17], [11] * 8, [5, 6, 7, 8, 5, 6]]
+    new = 8
+    eng = Engine(bank, CFG, max_batch=4, max_len=64, prompt_buckets=(8,),
+                 decode_window=4, spec_ngram=3)
+    uids = [eng.add_request(p, new, lora_id=i)
+            for i, p in enumerate(prompts)]
+    eng.run()
+    for i, (p, u) in enumerate(zip(prompts, uids)):
+        want = np.asarray(
+            greedy_generate(singles[i], CFG, jnp.asarray([p], jnp.int32), new)
+        )[0]
+        assert eng.result(u) == list(want), (i, eng.result(u), list(want))
+
+
 def test_engine_slot_recycling_keeps_adapters(bank_and_singles):
     """More requests than slots: recycled slots must pick up the NEW
     request's adapter."""

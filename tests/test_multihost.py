@@ -111,6 +111,30 @@ ref, _ = forward(
 err = np.abs(mine - np.asarray(ref)).max()
 assert err < 0.05, err
 print(f"WORKER {pid} OK", flush=True)
+
+# 3. cross-host continuous batching (BASELINE config 5): the Engine runs
+# the SAME deterministic schedule on every process over the dp=2 mesh —
+# process 0's scheduling decisions are reproduced identically everywhere
+# (same feed, same PRNG), and data-sharded device results are allgathered
+# so host slot state stays in lockstep. Outputs must equal the
+# single-process greedy decode per request.
+from eetq_tpu.serve.engine import Engine
+from eetq_tpu.serve.generate import greedy_generate
+
+model_eng = shard_quantized(qp, cfg, mesh)
+eng = Engine(model_eng, max_batch=2, max_len=32, prompt_buckets=(8,),
+             decode_window=2)
+prompts = [[3, 7, 11], [5, 6, 7, 8]]
+uids = [eng.add_request(p, max_new_tokens=6) for p in prompts]
+eng.run()
+for p, u in zip(prompts, uids):
+    ref_toks = greedy_generate(
+        qp, cfg, jnp.asarray(np.asarray(p, np.int32)[None]), 6
+    )
+    got = eng.result(u)
+    want = [int(t) for t in np.asarray(ref_toks[0])]
+    assert got == want, (pid, got, want)
+print(f"WORKER {pid} ENGINE OK", flush=True)
 """
 
 
@@ -150,3 +174,4 @@ def test_two_process_initialize_and_collectives(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"WORKER {i} OK" in out, out
+        assert f"WORKER {i} ENGINE OK" in out, out

@@ -34,7 +34,10 @@ from eetq_tpu.modules.attention import (
     update_cache,
 )
 from eetq_tpu.serve.generate import greedy_generate
-from eetq_tpu.serve.spec import ngram_spec_generate
+from eetq_tpu.serve.spec import (
+    ngram_spec_generate,
+    positional_generate,
+)
 
 TINY = ModelConfig(
     vocab_size=256,
@@ -136,6 +139,36 @@ def test_ngram_spec_exact_parity(rng, quant_params):
             quant_params, TINY, prompt, n, k=3, return_stats=True
         )
         np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+
+
+@pytest.mark.parametrize("top_k", [0, 5])
+def test_ngram_spec_sampled_exact_parity(rng, quant_params, top_k):
+    """SAMPLED speculation (r5): with positional PRNG (`_sample_pos`,
+    randomness keyed by (row, emission index) not draw order), the
+    speculative output equals the plain positionally-sampled decode
+    token-for-token — same key ⇒ same tokens, the distribution-exactness
+    guarantee."""
+    key = jax.random.PRNGKey(42)
+    n = 12
+    for prompt in (
+        _tokens(rng, 2, 8),
+        jnp.tile(jnp.asarray([[5, 9, 5, 9]], jnp.int32), (1, 4)),
+    ):
+        ref = positional_generate(
+            quant_params, TINY, prompt, n, temperature=0.8, top_k=top_k,
+            key=key,
+        )
+        toks, stats = ngram_spec_generate(
+            quant_params, TINY, prompt, n, k=3, temperature=0.8,
+            top_k=top_k, key=key, return_stats=True,
+        )
+        np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+    # different key -> (almost surely) different sampled tokens
+    other = ngram_spec_generate(
+        quant_params, TINY, _tokens(rng, 2, 8), n, k=3, temperature=0.8,
+        key=jax.random.PRNGKey(7),
+    )
+    assert other.shape == (2, n)
 
 
 def test_ngram_repetitive_accepts(rng, quant_params):
