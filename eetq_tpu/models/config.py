@@ -72,7 +72,12 @@ class ModelConfig:
             rms_eps=hf.get("rms_norm_eps", 1e-5),
             activation=act,
             sliding_window=hf.get("sliding_window"),
-            tie_word_embeddings=hf.get("tie_word_embeddings", False),
+            # transformers' GemmaConfig defaults tie_word_embeddings=True
+            # and save_pretrained OMITS class-default keys from config.json
+            # — so absence means TIED for gemma, untied for llama-family
+            tie_word_embeddings=hf.get(
+                "tie_word_embeddings", model_type == "gemma"
+            ),
             embedding_multiplier=(
                 hf["hidden_size"] ** 0.5 if model_type == "gemma" else None
             ),
