@@ -59,6 +59,11 @@ def _sp_forward_local(params, tokens_local, *, cfg: ModelConfig, axis_name):
     cos_sin = make_cos_sin_cache(cfg.max_position, cfg.rot_dim, base=cfg.rope_theta)
 
     hq, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    slopes = None
+    if cfg.alibi:
+        from eetq_tpu.ops.alibi import alibi_slopes
+
+        slopes = jnp.asarray(alibi_slopes(cfg.num_heads))
     kv_chunks = []
     for layer in params.layers:
         residual = x
@@ -68,10 +73,14 @@ def _sp_forward_local(params, tokens_local, *, cfg: ModelConfig, axis_name):
         q = q.reshape(b, s_local, hq, d)
         k = k.reshape(b, s_local, hkv, d)
         v = v.reshape(b, s_local, hkv, d)
-        q = rope(q, positions, cos_sin, interleaved=cfg.rope_interleaved)
-        k = rope(k, positions, cos_sin, interleaved=cfg.rope_interleaved)
+        if not cfg.alibi:
+            q = rope(q, positions, cos_sin, interleaved=cfg.rope_interleaved)
+            k = rope(k, positions, cos_sin, interleaved=cfg.rope_interleaved)
         kv_chunks.append((k, v))
-        attn = ring_attention(q, k, v, axis_name=axis_name, causal=True)
+        attn = ring_attention(
+            q, k, v, axis_name=axis_name, causal=True, slopes=slopes,
+            window=cfg.sliding_window,
+        )
         o = linear_apply(layer.o_proj, attn.reshape(b, s_local, hq * d))
         x = residual + o
 
@@ -130,10 +139,6 @@ def long_prefill(
     (default: rounded S) ready for `serve.generate.decode_loop`)."""
     from jax import shard_map
 
-    if cfg.alibi:
-        raise NotImplementedError("ring attention with ALiBi bias")
-    if cfg.sliding_window is not None:
-        raise NotImplementedError("ring attention with sliding window")
     if any(lp.moe is not None for lp in params.layers):
         raise NotImplementedError(
             "ring attention (sequence-parallel prefill) not supported for "

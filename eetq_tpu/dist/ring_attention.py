@@ -30,11 +30,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _chunk_attn_stats(q, k, v, mask, scale):
+def _chunk_attn_stats(q, k, v, mask, scale, bias=None):
     """Unnormalized attention over one KV chunk with softmax statistics.
 
     q: [B, Sq, Hq, D]; k, v: [B, Skv, Hkv, D]; mask None or broadcastable
-    to [B, Hq, Sq, Skv] (True = attend).
+    to [B, Hq, Sq, Skv] (True = attend); bias (e.g. ALiBi) broadcastable
+    to the same, added to the scaled scores before masking.
     Returns (o_unnorm [B, Sq, Hq, D] f32, m [B, Hq, Sq] f32, l [B, Hq, Sq]).
     """
     b, sq, hq, d = q.shape
@@ -45,6 +46,8 @@ def _chunk_attn_stats(q, k, v, mask, scale):
         "bskgd,blkd->bkgsl", qg, k, preferred_element_type=jnp.float32
     ).reshape(b, hq, sq, -1)
     s = s * scale
+    if bias is not None:
+        s = s + bias
     if mask is not None:
         s = jnp.where(mask, s, NEG_INF)
     m = jnp.max(s, axis=-1)  # [B, Hq, Sq]
@@ -76,42 +79,66 @@ def ring_attention(
     axis_name: str,
     causal: bool = True,
     scale: float | None = None,
+    slopes: jax.Array | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     """Sequence-sharded attention; call inside shard_map.
 
     q: [B, Sq_local, Hq, D]; k, v: [B, Skv_local, Hkv, D] — the local
     sequence chunks (chunk index = device index along `axis_name`).
+    slopes [Hq] enables the ALiBi position bias (score += slope * (col -
+    row) in GLOBAL positions). window enables causal sliding-window
+    attention (col > row - window); KV chunks entirely outside every local
+    query's window are skipped like above-diagonal chunks.
     Returns [B, Sq_local, Hq, D] in q.dtype.
     """
     p = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)
     b, sq, hq, d = q.shape
+    skv = k.shape[1]
     if scale is None:
         scale = 1.0 / (d**0.5)
     qf = q.astype(jnp.bfloat16)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (sq, k.shape[1]), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (sq, k.shape[1]), 1)
-    diag_mask = (col <= row)[None, None]
+    row = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
 
     def step(carry, i):
         o, m, l, kc, vc = carry
         src = (idx - i) % p  # global chunk index of the KV we hold now
+        # GLOBAL positions of this device's query rows / the held KV cols
+        row_g = idx * sq + row
+        col_g = src * skv + col
 
         def attend(_):
+            bias = None
+            if slopes is not None:
+                # ALiBi: per-head linear position bias in global coords
+                bias = slopes.astype(jnp.float32)[None, :, None, None] * (
+                    (col_g - row_g).astype(jnp.float32)[None, None]
+                )
             if causal:
-                # diagonal chunk: elementwise mask; below-diagonal: none
-                mask = jnp.where(src == idx, diag_mask, True)
+                mask = (col_g <= row_g)[None, None]
+                if window is not None:
+                    mask &= (col_g > row_g - window)[None, None]
             else:
                 mask = None
-            oc, mc, lc = _chunk_attn_stats(qf, kc, vc, mask, scale)
+            oc, mc, lc = _chunk_attn_stats(qf, kc, vc, mask, scale, bias=bias)
             return _merge(o, m, l, oc, mc, lc)
 
         def skip(_):
             return o, m, l
 
         if causal:
-            o2, m2, l2 = jax.lax.cond(src <= idx, attend, skip, operand=None)
+            run = src <= idx
+            if window is not None:
+                # the chunk's last col must reach the EARLIEST local
+                # window start (first local row's window): rows start at
+                # idx*sq, so cols <= idx*sq - window never attend... use
+                # the LAST local row (idx*sq + sq - 1): a chunk is dead
+                # only if even that row's window excludes its last col
+                run &= (src * skv + skv - 1) > (idx * sq - window)
+            o2, m2, l2 = jax.lax.cond(run, attend, skip, operand=None)
         else:
             o2, m2, l2 = attend(None)
         # rotate KV shards one step around the ring
@@ -139,6 +166,8 @@ def ring_attention_sharded(
     axis_name: str = "model",
     causal: bool = True,
     scale: float | None = None,
+    slopes: jax.Array | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     """Convenience wrapper: shard [B, S, H, D] arrays along S over
     `axis_name` and run ring attention. S must divide by the axis size."""
@@ -147,7 +176,8 @@ def ring_attention_sharded(
     spec = P(None, axis_name, None, None)
     fn = shard_map(
         functools.partial(
-            ring_attention, axis_name=axis_name, causal=causal, scale=scale
+            ring_attention, axis_name=axis_name, causal=causal, scale=scale,
+            slopes=slopes, window=window,
         ),
         mesh=mesh,
         in_specs=(spec, spec, spec),

@@ -353,6 +353,70 @@ def cache_spec() -> P:
     return P(DATA_AXIS, MODEL_AXIS, None, None)
 
 
+def make_spec_window_fn(model: ShardedModel, window: int, k: int) -> Callable:
+    """Sharded counterpart of `serve.spec.ngram_spec_window`: one ENGINE
+    n-gram speculative decode window over the (data, model) mesh.
+
+    The whole while_loop runs inside shard_map: per-row state (hist,
+    valid, last, lengths) is sharded over the data axis, the verify
+    forward is the TP decoder (row-parallel psums over the model axis),
+    and the n-gram matching / acceptance logic runs replicated within
+    each model group — every device of a model group holds identical row
+    state, so their loop conditions agree and the in-loop collectives
+    stay aligned; data groups may run different round counts (no
+    cross-data collectives inside the loop).
+
+    Returns fn(params, hist, valid, last, lengths, caches) ->
+    (out [B, window], counts [B], caches, rounds)."""
+    from jax import shard_map
+
+    from eetq_tpu.serve.spec import _ngram_window_core
+
+    cfg, mesh, tp = model.cfg, model.mesh, model.tp
+    caches_spec = [
+        KVCache(k=cache_spec(), v=cache_spec())
+        for _ in range(cfg.num_layers)
+    ]
+
+    def local_body(params, hist, valid, last, lengths, caches):
+        local = _unstack_local(params, model.specs)
+
+        def verify(t_in, start, caches):
+            s = t_in.shape[1]
+            positions = (
+                start[:, None] + jnp.arange(s, dtype=jnp.int32)[None]
+            )
+            return forward_inner(
+                local, cfg, t_in, positions, caches, start, verify=True,
+                tp=tp, tp_axis=MODEL_AXIS,
+            )
+
+        return _ngram_window_core(
+            verify, hist, valid, last, lengths, caches, window, k
+        )
+
+    fn = shard_map(
+        local_body,
+        mesh=mesh,
+        in_specs=(
+            model.specs,
+            P(DATA_AXIS, None),  # hist
+            P(DATA_AXIS),  # valid
+            P(DATA_AXIS),  # last
+            P(DATA_AXIS),  # lengths
+            caches_spec,
+        ),
+        out_specs=(
+            P(DATA_AXIS, None),  # out
+            P(DATA_AXIS),  # counts
+            caches_spec,
+            P(),  # rounds (per-shard; shards may differ — take the max)
+        ),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(5,))
+
+
 def make_forward_fn(
     model: ShardedModel,
     use_flash: bool = True,

@@ -249,6 +249,7 @@ class _ShardedBackend:
         self._fwd_rows = make_forward_fn(model, per_row_offset=True)
         self._multi = {}
         self._insert = {}
+        self._specw = {}
 
     @property
     def prefill_rows(self) -> int:
@@ -338,6 +339,17 @@ class _ShardedBackend:
         (the shard-local insert requires row's shard == slot's shard)."""
         size = max_batch // self.dp
         return range(row * size, (row + 1) * size)
+
+    def spec_window(self, hist, valid, last, lengths, caches, window: int,
+                    k: int, lora_ids=None):
+        assert lora_ids is None, "banked LoRA is local-backend only"
+        from eetq_tpu.dist.sharding import make_spec_window_fn
+
+        fn = self._specw.get((window, k))
+        if fn is None:
+            fn = make_spec_window_fn(self.model, window, k)
+            self._specw[(window, k)] = fn
+        return fn(self.params, hist, valid, last, lengths, caches)
 
     def insert_rows(self, big: KVCache, small: KVCache, src, slot,
                     upto_pad: int):
@@ -437,6 +449,15 @@ class _LocalBackend:
             self.params, self.cfg, tokens, true_lens, scratch, caches,
             blocks, key, temps, topks, bucket, nb,
             a8=self.a8_prefill, topk_cap=topk_cap, lora_ids=lora_ids,
+        )
+
+    def spec_window(self, hist, valid, last, lengths, caches, window: int,
+                    k: int, lora_ids=None):
+        from eetq_tpu.serve.spec import ngram_spec_window
+
+        return ngram_spec_window(
+            self.params, self.cfg, hist, valid, last, lengths, caches,
+            window, k, lora_ids=lora_ids,
         )
 
     def decode(self, tokens, lengths, caches, lora_ids=None):
@@ -741,8 +762,6 @@ class Engine:
                 raise ValueError("spec_ngram must be in [1, 7] (the k+1-"
                                  "token verify must stay in the m<=8 "
                                  "decode regime)")
-            if isinstance(self._backend, _ShardedBackend):
-                raise ValueError("spec_ngram is local-backend only for now")
         # prefill_chunk: prompts whose bucket exceeds this prefill one
         # chunk per scheduler step (decode advances BETWEEN chunks —
         # bounded head-of-line latency for running slots). Local backend
@@ -1146,8 +1165,6 @@ class Engine:
         The history each row's drafts match against is its own committed
         prompt + output — rebuilt host-side per window from the Request
         (cheap: one [B, H] int32 upload riding the dispatch)."""
-        from eetq_tpu.serve.spec import ngram_spec_window
-
         k = self.spec_ngram
         if self.paged:
             # verify rounds write KV up to position lengths + window-1 + k
@@ -1166,9 +1183,7 @@ class Engine:
             hist[i, : len(toks)] = toks
             valid[i] = len(toks)  # == lengths[i] + 1
         lids = jnp.asarray(self.lora_ids) if self._lora_banked else None
-        out, counts, self.caches, _rounds = ngram_spec_window(
-            self.params,
-            self.cfg,
+        out, counts, self.caches, _rounds = self._backend.spec_window(
             jnp.asarray(hist),
             jnp.asarray(valid),
             jnp.asarray(self.next_token),
@@ -1178,8 +1193,8 @@ class Engine:
             k,
             lora_ids=lids,
         )
-        out_np = np.asarray(out)  # the window's single host fetch
-        counts_np = np.asarray(counts)
+        out_np = self._backend.fetch(out)  # the window's single host fetch
+        counts_np = self._backend.fetch(counts)
         for i in active:
             for j in range(int(counts_np[i])):
                 if self.slot_req[i] is None:

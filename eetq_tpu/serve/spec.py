@@ -403,26 +403,20 @@ def ngram_spec_decode_loop(
     return out[:, :num_steps], (rounds, acc)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "window", "k", "fused_mlp"),
-    donate_argnames=("caches",),
-)
-def ngram_spec_window(
-    params,
-    cfg,
+def _ngram_window_core(
+    verify_fn,
     hist,  # [B, H] committed history per row (prompt + outputs, padded)
     valid,  # [B] real tokens in hist, INCLUDING the pending `last`
     last,  # [B] last committed token; its KV is NOT yet cached
     lengths,  # [B] cached KV count per row == `last`'s position
     caches,
     window: int,
-    k: int = 7,
-    fused_mlp: bool | None = None,
-    lora_ids=None,
+    k: int,
 ):
-    """One ENGINE decode window of n-gram speculative rounds (the
-    continuous-batching counterpart of `ngram_spec_decode_loop`).
+    """The engine spec-window while_loop, parametrized by `verify_fn(t_in,
+    start, caches) -> (logits, caches)` so the LOCAL (forward_inner) and
+    SHARDED (shard_map body, dist.sharding.make_spec_window_fn) backends
+    share one implementation.
 
     Engine invariant preserved: on entry each row's cache holds KV for
     positions [0, lengths); `last` is pending at position `lengths`. The
@@ -446,10 +440,7 @@ def ngram_spec_window(
         last, m, out, hist, valid, caches, rounds = carry
         drafts = _ngram_match(hist, valid, last, k)
         t_in = jnp.concatenate([last[:, None], drafts], axis=1)
-        logits, caches = _verify_forward(
-            params, cfg, t_in, lengths + m, caches, fused_mlp=fused_mlp,
-            lora_idx=lora_ids,
-        )
+        logits, caches = verify_fn(t_in, lengths + m, caches)
         g = jnp.argmax(logits, -1).astype(jnp.int32)
         last, _, adv, a, out, em = _accept_and_emit(
             drafts, g, t_in, window, m, out, k
@@ -473,6 +464,39 @@ def ngram_spec_window(
     last, m, out, _, _, caches, rounds = jax.lax.while_loop(cond, body, carry)
     counts = jnp.minimum(m, window)
     return out[:, :window], counts, caches, rounds
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "window", "k", "fused_mlp"),
+    donate_argnames=("caches",),
+)
+def ngram_spec_window(
+    params,
+    cfg,
+    hist,
+    valid,
+    last,
+    lengths,
+    caches,
+    window: int,
+    k: int = 7,
+    fused_mlp: bool | None = None,
+    lora_ids=None,
+):
+    """One ENGINE decode window of n-gram speculative rounds, local
+    single-device backend (see `_ngram_window_core` for semantics; the
+    sharded counterpart is `dist.sharding.make_spec_window_fn`)."""
+
+    def verify(t_in, start, caches):
+        return _verify_forward(
+            params, cfg, t_in, start, caches, fused_mlp=fused_mlp,
+            lora_idx=lora_ids,
+        )
+
+    return _ngram_window_core(
+        verify, hist, valid, last, lengths, caches, window, k
+    )
 
 
 def ngram_spec_generate(

@@ -77,16 +77,19 @@ def _merge_one(base, lora: LoraAdapter | None, bits: int = 8):
         lora.lora_a.astype(jnp.float32) @ lora.lora_b.astype(jnp.float32)
     ) * lora.scaling
     if isinstance(base, QuantLinear):
-        if base.scales.ndim != 1:
-            raise NotImplementedError(
-                "merge_lora supports per-channel quantized bases"
+        q = unpack_weights(base.qweight).astype(jnp.float32)
+        if base.scales.ndim == 1:  # per-channel
+            w = q * base.scales[None, :]
+            group_size = None
+        else:  # group-wise [G, N] (the usual int4 / W4A16 base)
+            gcount = base.scales.shape[0]
+            group_size = q.shape[0] // gcount
+            w = q * jnp.repeat(
+                base.scales.astype(jnp.float32), group_size, axis=0
             )
-        w = (
-            unpack_weights(base.qweight).astype(jnp.float32)
-            * base.scales[None, :]
-        )
         return quantize_linear(w + delta, bias=base.bias,
-                               bits=base.qweight.bits)
+                               bits=base.qweight.bits,
+                               group_size=group_size)
     return dataclasses.replace(
         base, weight=(base.weight.astype(jnp.float32) + delta).astype(
             base.weight.dtype

@@ -31,6 +31,8 @@ import jax  # noqa: E402
 if not os.environ.get("EETQ_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
+import gc  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -38,3 +40,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules. Full-suite runs
+    accumulate hundreds of XLA CPU compilations in one process and
+    eventually SEGFAULT inside `backend_compile_and_load` at ~82% (r4:
+    twice at test_spec's two-model while_loop; r5: at test_sharding's
+    shard_map forward after the spec compile moved to a subprocess — the
+    crash follows whatever heavy compile lands late in the process, not a
+    specific program). Clearing per module bounds the live compiled-code
+    footprint; the recompiles it forces are tiny-test-sized."""
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -509,6 +509,44 @@ def test_spec_engine_validation(params):
         eng.add_request([1, 2], 4, temperature=0.7, top_k=4)
 
 
+def test_spec_engine_sharded_backend(params):
+    """spec × sharded backend (r5): the n-gram speculative window runs as
+    a shard_map'd while_loop over the (data, model) mesh
+    (dist.sharding.make_spec_window_fn). Outputs must agree with the
+    plain (non-spec) engine on the SAME sharded model — identical TP
+    numerics up to the verify-vs-sequential matmul-shape summation
+    jitter, which can flip argmax on a random tiny model's margins."""
+    from eetq_tpu.dist import make_mesh
+    from eetq_tpu.models import random_dense_params
+    from eetq_tpu.surgery.tp_reshard import quantize_params_tp, shard_quantized
+
+    tp = 2
+    if len(jax.devices()) < tp:
+        pytest.skip("needs >= 2 devices")
+    dense = random_dense_params(CFG, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    qp = quantize_params_tp(dense, CFG, tp=tp)
+    mesh = make_mesh(tp=tp, dp=1)
+    model = shard_quantized(qp, CFG, mesh)
+
+    prompts = [[3, 17, 42, 9, 3, 17], [11] * 10, [5, 6, 7]]
+    eng_spec = Engine(model, max_batch=2, max_len=64, prompt_buckets=(16,),
+                      decode_window=4, spec_ngram=3)
+    outs_spec = eng_spec.generate_all(prompts, max_new_tokens=6)
+
+    model2 = shard_quantized(qp, CFG, mesh)
+    eng_plain = Engine(model2, max_batch=2, max_len=64, prompt_buckets=(16,),
+                       decode_window=4)
+    outs_plain = eng_plain.generate_all(prompts, max_new_tokens=6)
+
+    total = mismatches = 0
+    for a, b in zip(outs_spec, outs_plain):
+        assert len(a) == len(b) == 6
+        for x, y in zip(a, b):
+            total += 1
+            mismatches += x != y
+    assert mismatches <= total // 3, (outs_spec, outs_plain)
+
+
 def test_spec_engine_paged_matches_generate(params):
     """spec × paged KV (r5): the speculative window's verify rides the
     multi-query PAGED flash-decode path (writes through the block table,

@@ -81,15 +81,41 @@ def test_generate_long_matches_greedy(params):
 
 
 def test_long_prefill_rejects_unsupported(params):
-    import dataclasses
-
     mesh = _mesh(2)
-    toks = jnp.zeros((1, 8), jnp.int32)
-    cfg_alibi = dataclasses.replace(CFG, alibi=True)
-    with pytest.raises(NotImplementedError):
-        long_prefill(params, cfg_alibi, toks, mesh)
-    cfg_win = dataclasses.replace(CFG, sliding_window=16)
-    with pytest.raises(NotImplementedError):
-        long_prefill(params, cfg_win, toks, mesh)
     with pytest.raises(ValueError):
         long_prefill(params, CFG, jnp.zeros((1, 9), jnp.int32), mesh)
+
+
+def test_generate_long_sliding_window(params):
+    """Ring-attention prefill for SLIDING-WINDOW models (r5; long-context
+    mistral is exactly the model that wants this): the window crosses
+    chunk boundaries and the decode handoff keeps windowed attention."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, sliding_window=24)
+    mesh = _mesh(4)
+    rng = np.random.default_rng(2)
+    prompt = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(1, 64)),
+                         jnp.int32)
+    got = generate_long(params, cfg, prompt, 6, mesh)
+    want = greedy_generate(params, cfg, prompt, 6)
+    assert [int(t) for t in np.asarray(got[0])] == [
+        int(t) for t in np.asarray(want[0])
+    ]
+
+
+def test_generate_long_alibi(params):
+    """Ring-attention prefill for ALiBi models (r5; baichuan-13b): global
+    positions drive the bias across chunks, no RoPE applied."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, alibi=True)
+    mesh = _mesh(4)
+    rng = np.random.default_rng(3)
+    prompt = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(1, 32)),
+                         jnp.int32)
+    got = generate_long(params, cfg, prompt, 6, mesh)
+    want = greedy_generate(params, cfg, prompt, 6)
+    assert [int(t) for t in np.asarray(got[0])] == [
+        int(t) for t in np.asarray(want[0])
+    ]

@@ -105,6 +105,66 @@ def test_merge_lora_matches_adapter_model(qparams):
     assert (la.argmax(-1) == lm.argmax(-1)).mean() > 0.9
 
 
+@pytest.mark.parametrize("bits,g", [(8, 32), (4, 32)])
+def test_merge_lora_groupwise_base(bits, g):
+    """merge_lora over GROUP-WISE (incl. int4 / W4A16) bases — the repo's
+    first-class serving mode (r5; was a per-channel-only raise). The merge
+    dequantizes with the [G, N] scale rows, folds the delta, and
+    requantizes at the SAME bits/group_size."""
+    from eetq_tpu.models.transformer import forward
+    from eetq_tpu.modules.linear import QuantLinear
+
+    qp = quantize_params(
+        random_dense_params(CFG, jax.random.PRNGKey(0), dtype=jnp.bfloat16),
+        bits=bits, group_size=g,
+    )
+    adapted = _trained(qp)
+    merged = merge_lora(adapted)
+    assert all(
+        lp.qkv_lora is None and lp.o_lora is None for lp in merged.layers
+    )
+    for lp in merged.layers:
+        assert isinstance(lp.qkv, QuantLinear)
+        assert lp.qkv.qweight.bits == bits
+        assert lp.qkv.scales.ndim == 2  # group rows preserved
+        assert lp.qkv.scales.shape[0] == CFG.hidden_size // g
+
+    # weight-space exactness: dequant(merged) must equal
+    # dequant(base) + A@B*scaling to within ONE QUANT STEP per group
+    # (scale = absmax/2^(b-1), the reference convention — the absmax
+    # element itself quantizes to 2^(b-1) and clips to 2^(b-1)-1, a full
+    # step of error; everything else is within half a step)
+    from eetq_tpu.layout import unpack_weights
+
+    lp_a, lp_m = adapted.layers[0], merged.layers[0]
+    ad = lp_a.qkv_lora
+    delta = np.asarray(
+        ad.lora_a.astype(jnp.float32) @ ad.lora_b.astype(jnp.float32)
+    ) * ad.scaling
+    deq = lambda ql: np.asarray(unpack_weights(ql.qweight), np.float32) * (
+        np.repeat(np.asarray(ql.scales, np.float32), g, axis=0)
+    )
+    want = deq(lp_a.qkv) + delta
+    got = deq(lp_m.qkv)
+    step = np.repeat(np.asarray(lp_m.qkv.scales, np.float32), g, axis=0)
+    assert (np.abs(got - want) <= 1.01 * step + 1e-5).all()
+
+    toks = jnp.asarray([[3, 5, 7, 11, 2]], jnp.int32)
+    pos = jnp.arange(5, dtype=jnp.int32)[None]
+    la, _ = forward(adapted, CFG, toks, pos, None, jnp.int32(0))
+    lm, _ = forward(merged, CFG, toks, pos, None, jnp.int32(0))
+    la, lm = np.asarray(la), np.asarray(lm)
+    # requantization noise scales with the quant step: 2^(8-bits) coarser
+    # levels for int4. The weight-space bound above is the exactness
+    # assertion; the logits checks only guard against gross breakage —
+    # random tiny-model logits are near-tied, so int4-step noise flips
+    # argmax often without any merge bug (real models have margins).
+    bound = 0.08 if bits == 8 else 0.25
+    assert np.abs(la - lm).mean() < bound, np.abs(la - lm).mean()
+    agree_floor = 0.9 if bits == 8 else 0.4
+    assert (la.argmax(-1) == lm.argmax(-1)).mean() > agree_floor
+
+
 def test_merge_lora_dense_base():
     dense = random_dense_params(CFG, jax.random.PRNGKey(2), jnp.bfloat16)
     adapted = _trained(dense)

@@ -60,3 +60,46 @@ def test_eight_way(rng):
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=3e-2, rtol=3e-2,
     )
+
+
+def test_sliding_window_matches_full(rng):
+    """Ring attention with a sliding window == windowed full attention;
+    the window crosses chunk boundaries (w=24 over 16-token chunks)."""
+    p = 4
+    b, s, hq, hkv, d, w = 2, 64, 4, 2, 16, 24
+    q = jnp.asarray(rng.standard_normal((b, s, hq, d)).astype(np.float32),
+                    jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, d)).astype(np.float32),
+                    jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, d)).astype(np.float32),
+                    jnp.bfloat16)
+    out = ring_attention_sharded(q, k, v, _mesh(p), window=w)
+    ref = attention_reference(q, k, v, causal_mask(s, window=w), 1.0 / d**0.5)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
+def test_alibi_matches_full(rng):
+    """Ring attention with ALiBi slopes == the biased full attention —
+    global positions must survive the chunk decomposition."""
+    from eetq_tpu.ops.alibi import alibi_slopes
+
+    p = 4
+    b, s, hq, hkv, d = 1, 64, 4, 2, 16
+    slopes = jnp.asarray(alibi_slopes(hq))
+    q = jnp.asarray(rng.standard_normal((b, s, hq, d)).astype(np.float32),
+                    jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, d)).astype(np.float32),
+                    jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, d)).astype(np.float32),
+                    jnp.bfloat16)
+    out = ring_attention_sharded(q, k, v, _mesh(p), slopes=slopes)
+    ref = attention_reference(
+        q, k, v, causal_mask(s), 1.0 / d**0.5, slopes=slopes
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
