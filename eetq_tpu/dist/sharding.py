@@ -353,7 +353,9 @@ def cache_spec() -> P:
     return P(DATA_AXIS, MODEL_AXIS, None, None)
 
 
-def make_spec_window_fn(model: ShardedModel, window: int, k: int) -> Callable:
+def make_spec_window_fn(model: ShardedModel, window: int, k: int,
+                        sampled: bool = False,
+                        topk_cap: int = 0) -> Callable:
     """Sharded counterpart of `serve.spec.ngram_spec_window`: one ENGINE
     n-gram speculative decode window over the (data, model) mesh.
 
@@ -378,7 +380,7 @@ def make_spec_window_fn(model: ShardedModel, window: int, k: int) -> Callable:
         for _ in range(cfg.num_layers)
     ]
 
-    def local_body(params, hist, valid, last, lengths, caches):
+    def local_body(params, hist, valid, last, lengths, caches, sample_args):
         local = _unstack_local(params, model.specs)
 
         def verify(t_in, start, caches):
@@ -392,9 +394,11 @@ def make_spec_window_fn(model: ShardedModel, window: int, k: int) -> Callable:
             )
 
         return _ngram_window_core(
-            verify, hist, valid, last, lengths, caches, window, k
+            verify, hist, valid, last, lengths, caches, window, k,
+            sample_args=sample_args, topk_cap=topk_cap,
         )
 
+    row_spec = (P(DATA_AXIS), P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS))
     fn = shard_map(
         local_body,
         mesh=mesh,
@@ -405,6 +409,8 @@ def make_spec_window_fn(model: ShardedModel, window: int, k: int) -> Callable:
             P(DATA_AXIS),  # last
             P(DATA_AXIS),  # lengths
             caches_spec,
+            # (emit0, row_keys [B, key], temps, topks) or None
+            row_spec if sampled else None,
         ),
         out_specs=(
             P(DATA_AXIS, None),  # out

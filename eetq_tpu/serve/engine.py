@@ -189,6 +189,13 @@ def _sample_rows(logits, key, temps, topks, topk_cap: int):
 _sample_rows_jit = jax.jit(_sample_rows, static_argnames=("topk_cap",))
 
 
+@jax.jit
+def _spec_row_keys(base_key, uids):
+    """Per-request PRNG keys for the spec window's positional sampler:
+    fold the engine's fixed spec base key by each row's request uid."""
+    return jax.vmap(lambda u: jax.random.fold_in(base_key, u))(uids)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "steps", "decode_kernel", "sample", "topk_cap"),
@@ -341,15 +348,21 @@ class _ShardedBackend:
         return range(row * size, (row + 1) * size)
 
     def spec_window(self, hist, valid, last, lengths, caches, window: int,
-                    k: int, lora_ids=None):
+                    k: int, lora_ids=None, sample_args=None,
+                    topk_cap: int = 0):
         assert lora_ids is None, "banked LoRA is local-backend only"
         from eetq_tpu.dist.sharding import make_spec_window_fn
 
-        fn = self._specw.get((window, k))
+        key = (window, k, sample_args is not None, topk_cap)
+        fn = self._specw.get(key)
         if fn is None:
-            fn = make_spec_window_fn(self.model, window, k)
-            self._specw[(window, k)] = fn
-        return fn(self.params, hist, valid, last, lengths, caches)
+            fn = make_spec_window_fn(
+                self.model, window, k, sampled=sample_args is not None,
+                topk_cap=topk_cap,
+            )
+            self._specw[key] = fn
+        return fn(self.params, hist, valid, last, lengths, caches,
+                  sample_args)
 
     def insert_rows(self, big: KVCache, small: KVCache, src, slot,
                     upto_pad: int):
@@ -452,12 +465,14 @@ class _LocalBackend:
         )
 
     def spec_window(self, hist, valid, last, lengths, caches, window: int,
-                    k: int, lora_ids=None):
+                    k: int, lora_ids=None, sample_args=None,
+                    topk_cap: int = 0):
         from eetq_tpu.serve.spec import ngram_spec_window
 
         return ngram_spec_window(
             self.params, self.cfg, hist, valid, last, lengths, caches,
-            window, k, lora_ids=lora_ids,
+            window, k, lora_ids=lora_ids, sample_args=sample_args,
+            topk_cap=topk_cap,
         )
 
     def decode(self, tokens, lengths, caches, lora_ids=None):
@@ -781,6 +796,10 @@ class Engine:
         # when the batch is full — see step()'s chaining rules)
         self.max_chain = max(1, int(max_chain))
         self._key = jax.random.PRNGKey(seed)
+        # spec sampled streams: a FIXED base key (fold_in by request uid,
+        # then by emission index) so a request's sampled tokens don't
+        # depend on window size or scheduling — see spec._sample_pos_rows
+        self._spec_key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x5bec)
         self._uid = itertools.count()
         self.queue: deque[Request] = deque()
         self.requests: dict[int, Request] = {}
@@ -811,12 +830,6 @@ class Engine:
             )
         if top_k >= self.cfg.vocab_size:
             top_k = 0  # filtering the whole vocab is a no-op
-        if temperature > 0 and self.spec_ngram is not None:
-            raise ValueError(
-                "spec_ngram engines serve greedy requests only (draft "
-                "acceptance is exact-match; use a non-spec Engine for "
-                "sampling)"
-            )
         if temperature > 0 and top_k > self.topk_cap:
             raise ValueError(
                 f"top_k {top_k} exceeds the engine's topk_cap "
@@ -1177,11 +1190,29 @@ class Engine:
         hist_len = self.max_len + window + 2 * k + 2
         hist = np.zeros((self.max_batch, hist_len), np.int32)
         valid = np.full((self.max_batch,), 2, np.int32)
+        temps_np = np.zeros((self.max_batch,), np.float32)
+        topks_np = np.zeros((self.max_batch,), np.int32)
+        uids_np = np.zeros((self.max_batch,), np.int32)
+        emit0_np = np.zeros((self.max_batch,), np.int32)
         for i in active:
             req = self.slot_req[i]
             toks = req.prompt + req.out_tokens
             hist[i, : len(toks)] = toks
             valid[i] = len(toks)  # == lengths[i] + 1
+            uids_np[i] = req.uid
+            emit0_np[i] = len(req.out_tokens)
+            if req.temperature > 0:
+                temps_np[i] = req.temperature
+                topks_np[i] = req.top_k
+        sample_args = None
+        topk_cap = 0
+        if temps_np.any():
+            row_keys = _spec_row_keys(self._spec_key, jnp.asarray(uids_np))
+            sample_args = (
+                jnp.asarray(emit0_np), row_keys, jnp.asarray(temps_np),
+                jnp.asarray(topks_np),
+            )
+            topk_cap = self.topk_cap
         lids = jnp.asarray(self.lora_ids) if self._lora_banked else None
         out, counts, self.caches, _rounds = self._backend.spec_window(
             jnp.asarray(hist),
@@ -1192,6 +1223,8 @@ class Engine:
             window,
             k,
             lora_ids=lids,
+            sample_args=sample_args,
+            topk_cap=topk_cap,
         )
         out_np = self._backend.fetch(out)  # the window's single host fetch
         counts_np = self._backend.fetch(counts)
@@ -1272,11 +1305,18 @@ class Engine:
             not self.queue or self._free_slot() is None
         ):
             window = self.decode_window
-        if self.spec_ngram is not None and window > 1:
+        if self.spec_ngram is not None and (
+            window > 1
+            or any(self.slot_req[i].temperature > 0 for i in active)
+        ):
             # speculative decode window: n-gram drafts + one multi-token
-            # verify per round instead of sequential steps (greedy-exact;
-            # window=1 rounds fall through to the plain step — a verify
-            # would cost the same round-trip for no amortization)
+            # verify per round instead of sequential steps. Greedy-exact;
+            # sampled rows draw their targets with per-request POSITIONAL
+            # keys (window-size-invariant streams). Greedy-only window=1
+            # rounds fall through to the plain step (a verify would cost
+            # the same round-trip for no amortization); sampled rows must
+            # stay on the positional sampler even at window 1 so their
+            # stream never mixes PRNG derivations.
             self._spec_decode_window(active, window)
             return
         # per-slot sampling params ([B] vectors; inactive slots greedy)

@@ -101,6 +101,38 @@ def _sample_pos(logits, emit_idx, key, temperature: float, top_k: int):
     return toks.reshape(b, s).astype(jnp.int32)
 
 
+def _sample_pos_rows(logits, emit_idx, row_keys, temps, topks, topk_cap: int):
+    """Per-row mixed greedy/sampled positional sampling (the ENGINE spec
+    window's sampler). logits [B, S, V]; emit_idx [B, S] per-request
+    emission indices; row_keys [B] per-REQUEST PRNG keys (fold_in of the
+    engine seed by request uid — stable across windows, so the committed
+    stream is independent of window size); temps [B] (0 = greedy row);
+    topks [B] (0 = no filter); topk_cap static. Returns [B, S] int32."""
+    b, s, v = logits.shape
+    greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+    scaled = logits.astype(jnp.float32) / jnp.maximum(temps, 1e-6)[:, None, None]
+    if topk_cap > 0:
+        vals = jax.lax.top_k(scaled, topk_cap)[0]  # [B, S, cap]
+        idx = jnp.clip(topks - 1, 0, topk_cap - 1)[:, None, None]
+        kth = jnp.take_along_axis(vals, jnp.broadcast_to(idx, (b, s, 1)), 2)
+        scaled = jnp.where(
+            (topks[:, None, None] > 0) & (scaled < kth), -jnp.inf, scaled
+        )
+    rows = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[:, None], (b, s)
+    ).reshape(-1)
+
+    def draw(lg, i, r):
+        return jax.random.categorical(
+            jax.random.fold_in(row_keys[r], i), lg
+        )
+
+    sampled = jax.vmap(draw)(
+        scaled.reshape(-1, v), emit_idx.reshape(-1).astype(jnp.int32), rows
+    ).reshape(b, s).astype(jnp.int32)
+    return jnp.where(temps[:, None] > 0, sampled, greedy)
+
+
 def positional_generate(
     params,
     cfg,
@@ -412,6 +444,9 @@ def _ngram_window_core(
     caches,
     window: int,
     k: int,
+    sample_args=None,  # None = greedy; (emit0 [B], row_keys [B, ...],
+    #                    temps [B], topks [B]) = per-row positional sampling
+    topk_cap: int = 0,
 ):
     """The engine spec-window while_loop, parametrized by `verify_fn(t_in,
     start, caches) -> (logits, caches)` so the LOCAL (forward_inner) and
@@ -441,7 +476,16 @@ def _ngram_window_core(
         drafts = _ngram_match(hist, valid, last, k)
         t_in = jnp.concatenate([last[:, None], drafts], axis=1)
         logits, caches = verify_fn(t_in, lengths + m, caches)
-        g = jnp.argmax(logits, -1).astype(jnp.int32)
+        if sample_args is None:
+            g = jnp.argmax(logits, -1).astype(jnp.int32)
+        else:
+            emit0, row_keys, temps, topks = sample_args
+            emit_idx = (emit0 + m)[:, None] + jnp.arange(
+                k + 1, dtype=jnp.int32
+            )[None]
+            g = _sample_pos_rows(
+                logits, emit_idx, row_keys, temps, topks, topk_cap
+            )
         last, _, adv, a, out, em = _accept_and_emit(
             drafts, g, t_in, window, m, out, k
         )
@@ -468,7 +512,7 @@ def _ngram_window_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "window", "k", "fused_mlp"),
+    static_argnames=("cfg", "window", "k", "fused_mlp", "topk_cap"),
     donate_argnames=("caches",),
 )
 def ngram_spec_window(
@@ -483,6 +527,8 @@ def ngram_spec_window(
     k: int = 7,
     fused_mlp: bool | None = None,
     lora_ids=None,
+    sample_args=None,
+    topk_cap: int = 0,
 ):
     """One ENGINE decode window of n-gram speculative rounds, local
     single-device backend (see `_ngram_window_core` for semantics; the
@@ -495,7 +541,8 @@ def ngram_spec_window(
         )
 
     return _ngram_window_core(
-        verify, hist, valid, last, lengths, caches, window, k
+        verify, hist, valid, last, lengths, caches, window, k,
+        sample_args=sample_args, topk_cap=topk_cap,
     )
 
 

@@ -504,9 +504,57 @@ def test_spec_engine_eos_mid_window(params):
 def test_spec_engine_validation(params):
     with pytest.raises(ValueError):
         Engine(params, CFG, max_batch=1, max_len=64, spec_ngram=9)
+    # sampled requests are ACCEPTED by spec engines since r5 (positional
+    # target sampling); the static top_k cap still applies
+    eng = Engine(params, CFG, max_batch=1, max_len=64, spec_ngram=3,
+                 topk_cap=8)
+    with pytest.raises(ValueError):
+        eng.add_request([1, 2], 4, temperature=0.7, top_k=9)
+
+
+def test_spec_engine_sampled_window_invariance(params):
+    """Sampled requests in a spec engine (r5): target tokens are drawn
+    with per-request POSITIONAL keys, so a request's sampled stream is
+    IDENTICAL across engines that differ only in decode_window — and
+    greedy requests in the same mixed batch still match the greedy
+    reference exactly."""
+    prompts = [[3, 17, 42, 9, 3, 17], [11] * 8]
+    kw = [dict(temperature=0.8, top_k=8), dict()]  # sampled + greedy
+
+    def run(window):
+        eng = Engine(params, CFG, max_batch=2, max_len=64,
+                     prompt_buckets=(8,), decode_window=window, spec_ngram=3,
+                     seed=5)
+        uids = [eng.add_request(p, 10, **k) for p, k in zip(prompts, kw)]
+        eng.run()
+        return [eng.result(u) for u in uids]
+
+    a = run(3)
+    b = run(5)
+    assert a == b, (a, b)
+    # greedy row unchanged by the sampled neighbor
+    assert a[1] == _ref_greedy(params, prompts[1], 10)
+    # sampled row actually sampled (differs from its greedy decode)
+    assert a[0] != _ref_greedy(params, prompts[0], 10)
+
+
+def test_spec_engine_sampled_seed_and_topk(params):
+    """Different seeds give different sampled spec streams; top_k respects
+    the engine's static cap validation."""
+    prompt = [3, 17, 42, 9]
+    outs = []
+    for seed in (0, 1):
+        eng = Engine(params, CFG, max_batch=1, max_len=64,
+                     prompt_buckets=(8,), decode_window=4, spec_ngram=3,
+                     seed=seed)
+        u = eng.add_request(prompt, 12, temperature=1.0, top_k=8)
+        eng.run()
+        outs.append(eng.result(u))
+    assert outs[0] != outs[1]
     eng = Engine(params, CFG, max_batch=1, max_len=64, spec_ngram=3)
     with pytest.raises(ValueError):
-        eng.add_request([1, 2], 4, temperature=0.7, top_k=4)
+        eng.add_request(prompt, 4, temperature=0.7,
+                        top_k=eng.topk_cap + 1)
 
 
 def test_spec_engine_sharded_backend(params):
