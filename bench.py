@@ -124,9 +124,16 @@ def bench_decode(params, cfg, batch, prompt_len, new_tokens, sync_s) -> dict:
     # reverts. Dense (bf16) params have no quantized MLP weights to fuse.
     quantized = not isinstance(params.layers[0].gateup, DenseLinear)
     fused = quantized and os.environ.get("EETQ_BENCH_FUSED_MLP", "1") != "0"
+    # KV cache dtype: int8 is the r5 DEFAULT for quantized runs (r4/r5
+    # interleaved A/Bs: 9.64 vs 9.90 ms/step at 7B p1024; halves KV bytes
+    # — also the 13B b>=2 enabler on 16 GB). EETQ_BENCH_KV=bf16 reverts;
+    # the bf16 baseline model always benches with bf16 KV.
+    kv_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8}[
+        os.environ.get("EETQ_BENCH_KV", "int8" if quantized else "bf16")
+    ]
 
     def run():
-        caches = init_caches(cfg, batch, max_len)
+        caches = init_caches(cfg, batch, max_len, dtype=kv_dtype)
         logits, caches = prefill(params, cfg, prompt, caches)
         token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return token, caches
@@ -148,7 +155,9 @@ def bench_decode(params, cfg, batch, prompt_len, new_tokens, sync_s) -> dict:
     del token, caches
     gc.collect()
     t0 = time.perf_counter()
-    logits2, _c2 = prefill(params, cfg, prompt, init_caches(cfg, batch, max_len))
+    logits2, _c2 = prefill(
+        params, cfg, prompt, init_caches(cfg, batch, max_len, dtype=kv_dtype)
+    )
     _fetch(logits2)
     prefill_s = max(time.perf_counter() - t0 - sync_s, 1e-9)
     del logits2, _c2
@@ -279,6 +288,7 @@ def main():
         # record the knobs that change what the number means, so rows are
         # comparable across versions without out-of-band knowledge
         "fused_mlp": os.environ.get("EETQ_BENCH_FUSED_MLP", "1") != "0",
+        "kv": os.environ.get("EETQ_BENCH_KV", "int8"),
         "reps": int(os.environ.get("EETQ_BENCH_REPS", 6)),
     }
     if r_bf16 is not None:

@@ -57,12 +57,19 @@ def make_engine(params, cfg, batch, max_len, buckets, window, paged,
         # pool sized for the workload's live tokens + window overshoot
         bs = min(256, -(-max_len // 128) * 128)
         blocks = 1 + batch * (-(-max_len // bs))
-        kw = dict(paged_blocks=blocks, paged_block_size=bs)
-    if int(os.environ.get("EETQ_ENGINE_A8", 0)):
+        kw.update(paged_blocks=blocks, paged_block_size=bs)
+    # r5: the engine AUTO-enables W8A8 prefill and int8 KV for quantized
+    # local models on TPU. EETQ_ENGINE_A8=0/1 and EETQ_ENGINE_KV=bf16/int8
+    # force either way (unset = the engine default) — the A/B knobs.
+    a8_env = os.environ.get("EETQ_ENGINE_A8")
+    if a8_env is not None:
         # W8A8 prefill (dynamic int8 activations on the s8xs8 MXU — 2x
         # bf16 throughput; decode stays W8A16): the prefill-heavy serving
         # lever, relevant in trace mode where TTFT dominates p99
-        kw["a8_prefill"] = True
+        kw["a8_prefill"] = a8_env == "1"
+    kv_env = os.environ.get("EETQ_ENGINE_KV")
+    if kv_env:
+        kw["kv_dtype"] = {"bf16": jnp.bfloat16, "int8": jnp.int8}[kv_env]
     return Engine(
         params, cfg, max_batch=batch, max_len=max_len,
         prompt_buckets=buckets, decode_window=window,
