@@ -18,9 +18,11 @@ without the runtime. This module is the runtime, TPU-native:
   routing weights (dense-masked combine — exact, static shapes, MXU-shaped;
   the E/k FLOP overhead is the classic static-shape MoE tradeoff and
   prefill is MXU-rich);
-- **expert parallelism**: under shard_map the local bank holds E/p experts
-  and the scan covers only those; the decoder's existing row-parallel psum
-  completes the combine (see models.transformer.decoder_layer).
+- **expert parallelism**: under shard_map the local bank holds E/p experts;
+  prefill takes the routed grouped path per shard when k < E/p (non-local
+  selections park on local expert 0 with a zero combine weight) and the
+  masked scan otherwise; the decoder's existing row-parallel psum completes
+  the combine (see models.transformer.decoder_layer).
 """
 
 from __future__ import annotations
@@ -115,9 +117,10 @@ def moe_grouped_combine(
     moe: MoEMLP,
     x2: jax.Array,  # [T, H]
     topw: jax.Array,  # [T, k] f32
-    topi: jax.Array,  # [T, k] int32
+    topi: jax.Array,  # [T, k] int32 (GLOBAL expert ids)
     activation: str,
     interpret: bool | None = None,
+    tp_axis: str | None = None,
 ) -> jax.Array:
     """Routed MoE prefill: token-grouped expert GEMM (MegaBlocks-style,
     static shapes). Sort the (token, expert) selections by expert, pack
@@ -128,6 +131,14 @@ def moe_grouped_combine(
     expert) instead of the masked scan's all-E dense compute — the prefill
     counterpart of the decode gather's bandwidth win.
 
+    Under EP (tp_axis set, local E/p bank): selections routed to OTHER
+    shards' experts keep their rows (static shapes demand worst-case
+    capacity) but compute against local expert 0 with a ZERO combine
+    weight, and the caller's psum completes the cross-shard sum. The
+    per-shard row count is therefore T*k regardless of p — cheaper than
+    the masked scan's T*E/p rows exactly when k < E/p (the caller gates
+    on that).
+
     Returns [T, H] f32 (caller casts / reshapes)."""
     t, h = x2.shape
     top_k = topi.shape[-1]
@@ -136,7 +147,14 @@ def moe_grouped_combine(
     bm = _grouped_bm(n_sel, e)
     nb = n_sel // bm + e  # static: <=1 partial block per expert
 
-    eids = topi.reshape(-1)  # [S]
+    eids = topi.reshape(-1)  # [S] global
+    wflat = topw.reshape(-1)
+    if tp_axis is not None:
+        off = jax.lax.axis_index(tp_axis) * e
+        local = (eids >= off) & (eids < off + e)
+        # non-local selections: park on local expert 0 with zero weight
+        eids = jnp.where(local, eids - off, 0).astype(jnp.int32)
+        wflat = jnp.where(local, wflat, 0.0)
     order = jnp.argsort(eids, stable=True)  # sorted-selection -> selection
     e_sorted = eids[order]
     tok_sorted = order // top_k
@@ -178,7 +196,8 @@ def moe_grouped_combine(
         jnp.zeros_like(contrib_sorted).at[order].set(contrib_sorted)
     ).astype(jnp.float32)
     return jnp.sum(
-        contrib.reshape(t, top_k, h) * topw[..., None].astype(jnp.float32),
+        contrib.reshape(t, top_k, h)
+        * wflat.reshape(t, top_k)[..., None].astype(jnp.float32),
         axis=1,
     )
 
@@ -222,9 +241,14 @@ def moe_apply(
     grouped_ok = (
         quantized
         and use_kernel
-        and tp_axis is None
         and not gather_ok
         and n_sel > MAX_DECODE_M
+        # Under EP every shard still packs T*k selection rows (non-local
+        # ones park on local expert 0 with zero weight — static shapes);
+        # the masked scan computes T*E_local rows per shard, so grouped
+        # only wins when k < E_local. tp=4 Mixtral (E_local=2=k) keeps the
+        # scan; tp=2 (E_local=4) takes the routed path.
+        and (tp_axis is None or top_k < e_local)
         # trace-time A/B knob: force the masked scan (all-E dense FLOPs)
         # at prefill shapes — scripts/bench_moe.py measures the routed win
         and os.environ.get("EETQ_MOE_NO_GROUPED", "0") != "1"
@@ -233,7 +257,8 @@ def moe_apply(
     if grouped_ok:
         # Prefill regime: token-grouped expert GEMM — routed k/E FLOPs
         out2 = moe_grouped_combine(
-            moe, x2, topw, topi, activation, interpret=interpret
+            moe, x2, topw, topi, activation, interpret=interpret,
+            tp_axis=tp_axis,
         )
         return out2.astype(x.dtype).reshape(b, s, h)
     if gather_ok:

@@ -126,6 +126,61 @@ def test_moe_grouped_prefill_matches_scan():
     )
 
 
+def test_moe_grouped_prefill_ep_parity():
+    """EP grouped prefill: with k < E_local each shard takes the routed
+    grouped path (non-local selections parked on local expert 0 with a
+    ZERO combine weight) and the caller's psum completes the cross-shard
+    combine — matching the single-device grouped output."""
+    from jax import shard_map
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+
+    e, h, i, k, t = 8, 64, 96, 2, 33
+    moe = quantize_moe(_toy_moe(jax.random.PRNGKey(0), e=e, h=h, i=i))
+    x = jax.random.normal(jax.random.PRNGKey(9), (1, t, h), jnp.bfloat16)
+    # single-device routed grouped path (n_sel = 66 > MAX_DECODE_M)
+    want = moe_apply(moe, x, k, interpret=True)
+
+    def bank_specs(lin):
+        return jax.tree.map(
+            lambda a: P("model", *(None,) * (a.ndim - 1)), lin
+        )
+
+    specs = MoEMLP(
+        router=jax.tree.map(lambda a: P(), moe.router),
+        gateup=bank_specs(moe.gateup),
+        down=bank_specs(moe.down),
+    )
+    # tp=2: E_local=4 > k=2 -> grouped gate holds per shard
+    mesh = Mesh(np.array(jax.devices()[:2]), ("model",))
+    fn = shard_map(
+        lambda m, xx: jax.lax.psum(
+            moe_apply(m, xx, k, tp_axis="model", interpret=True), "model"
+        ),
+        mesh=mesh, in_specs=(specs, P()), out_specs=P(), check_rep=False,
+    )
+    got = fn(moe, x)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+    # tp=4: E_local=2 == k -> the gate falls back to the masked scan,
+    # which must agree too
+    mesh4 = Mesh(np.array(jax.devices()[:4]), ("model",))
+    fn4 = shard_map(
+        lambda m, xx: jax.lax.psum(
+            moe_apply(m, xx, k, tp_axis="model", interpret=True), "model"
+        ),
+        mesh=mesh4, in_specs=(specs, P()), out_specs=P(), check_rep=False,
+    )
+    got4 = fn4(moe, x)
+    np.testing.assert_allclose(
+        np.asarray(got4, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
 def _toy_moe(key, e=4, h=64, i=96, dtype=jnp.bfloat16) -> MoEMLP:
     k1, k2, k3 = jax.random.split(key, 3)
     from eetq_tpu.modules.linear import DenseLinear
