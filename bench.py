@@ -29,7 +29,7 @@ from eetq_tpu.models import PRESETS, init_caches
 from eetq_tpu.models.config import ModelConfig
 from eetq_tpu.models.transformer import LayerParams, ModelParams
 from eetq_tpu.modules.linear import DenseLinear, quantize_linear
-from eetq_tpu.serve.generate import decode_loop, prefill
+from eetq_tpu.serve.generate import decode_loop, prefill, prefill_chunked
 
 
 def log(msg):
@@ -132,9 +132,19 @@ def bench_decode(params, cfg, batch, prompt_len, new_tokens, sync_s) -> dict:
         os.environ.get("EETQ_BENCH_KV", "int8" if quantized else "bf16")
     ]
 
+    # EETQ_BENCH_PREFILL_CHUNK=N prefills in N-token chunks: bounds prefill
+    # activation temps to the chunk (the 13B b=4 enabler — 13.2 GB weights
+    # + 1.76 GB int8 KV leave <300 MB for whole-prompt prefill temps)
+    chunk = int(os.environ.get("EETQ_BENCH_PREFILL_CHUNK", 0))
+
+    def do_prefill(caches):
+        if chunk:
+            return prefill_chunked(params, cfg, prompt, caches, chunk=chunk)
+        return prefill(params, cfg, prompt, caches)
+
     def run():
         caches = init_caches(cfg, batch, max_len, dtype=kv_dtype)
-        logits, caches = prefill(params, cfg, prompt, caches)
+        logits, caches = do_prefill(caches)
         token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return token, caches
 
@@ -155,8 +165,8 @@ def bench_decode(params, cfg, batch, prompt_len, new_tokens, sync_s) -> dict:
     del token, caches
     gc.collect()
     t0 = time.perf_counter()
-    logits2, _c2 = prefill(
-        params, cfg, prompt, init_caches(cfg, batch, max_len, dtype=kv_dtype)
+    logits2, _c2 = do_prefill(
+        init_caches(cfg, batch, max_len, dtype=kv_dtype)
     )
     _fetch(logits2)
     prefill_s = max(time.perf_counter() - t0 - sync_s, 1e-9)

@@ -215,9 +215,18 @@ def forward_inner(
     fused_mlp: bool | None = None,
     lora_idx: jax.Array | None = None,
     verify: bool = False,
+    last_only: bool = False,
+    last_pos: jax.Array | None = None,
 ) -> tuple[jax.Array, list[KVCache] | None]:
     """Un-jitted forward body; called directly inside shard_map by
-    eetq_tpu.dist (tp > 1) and via the jitted `forward` single-device."""
+    eetq_tpu.dist (tp > 1) and via the jitted `forward` single-device.
+
+    last_only=True computes the lm_head on the LAST position only (logits
+    [B, 1, V]) — prefill needs just the next-token logits, and the full
+    [B, S, V] head output is the largest prefill temp (262 MB at 13B b=4
+    p=1024) plus S x the head FLOPs. last_pos [B] int32 is the per-row
+    variant for right-padded prefill buckets: gather each row's hidden
+    state at its own index before the head (logits [B, 1, V])."""
     x = params.embed[tokens].astype(jnp.bfloat16)
     if cfg.embedding_multiplier is not None:
         x = (x.astype(jnp.float32) * cfg.embedding_multiplier).astype(x.dtype)
@@ -235,6 +244,12 @@ def forward_inner(
             new_caches.append(cache_i)
 
     x = _norm(x, params.final_norm, cfg)
+    if last_only:
+        x = x[:, -1:, :]
+    elif last_pos is not None:
+        x = jax.vmap(
+            lambda row, t: jax.lax.dynamic_slice_in_dim(row, t, 1, axis=0)
+        )(x, last_pos)
     if params.lm_head is not None:
         # Column-parallel lm_head under TP: gather local vocab shards.
         logits = linear_apply(params.lm_head, x)
@@ -248,7 +263,8 @@ def forward_inner(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "use_flash", "a8", "fused_mlp")
+    jax.jit, static_argnames=("cfg", "use_flash", "a8", "fused_mlp",
+                              "last_only")
 )
 def forward(
     params: ModelParams,
@@ -261,11 +277,13 @@ def forward(
     a8: bool = False,
     fused_mlp: bool | None = None,
     lora_idx: jax.Array | None = None,
+    last_only: bool = False,
 ) -> tuple[jax.Array, list[KVCache] | None]:
-    """Single-device forward. Returns (logits [B, S, V] f32, caches)."""
+    """Single-device forward. Returns (logits [B, S, V] f32, caches);
+    last_only=True returns [B, 1, V] (see forward_inner)."""
     return forward_inner(
         params, cfg, tokens, positions, caches, offset, use_flash=use_flash,
-        a8=a8, fused_mlp=fused_mlp, lora_idx=lora_idx,
+        a8=a8, fused_mlp=fused_mlp, lora_idx=lora_idx, last_only=last_only,
     )
 
 

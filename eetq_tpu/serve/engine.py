@@ -80,15 +80,13 @@ def _prefill_bucketed(params, cfg: ModelConfig, tokens, true_lens, bucket: int,
     beyond true_len are never read during decode (per-row length masking)."""
     r, s = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (r, s))
+    # last_pos: gather each row's final hidden state BEFORE the lm_head —
+    # skips the [R, S, V] f32 logits temp and S x the head FLOPs
     logits, caches = forward_inner(
         params, cfg, tokens, positions, caches, jnp.int32(0), a8=a8,
-        lora_idx=lora_ids,
+        lora_idx=lora_ids, last_pos=true_lens - 1,
     )
-    last = jax.vmap(
-        lambda row, t: jax.lax.dynamic_index_in_dim(row, t - 1, axis=0,
-                                                    keepdims=False)
-    )(logits, true_lens)
-    return last, caches
+    return logits[:, -1, :], caches
 
 
 @functools.partial(
@@ -114,13 +112,9 @@ def _prefill_commit(params, cfg: ModelConfig, tokens, true_lens, scratch,
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (r, s))
     logits, scratch = forward_inner(
         params, cfg, tokens, positions, scratch, jnp.int32(0), a8=a8,
-        lora_idx=lora_ids,
+        lora_idx=lora_ids, last_pos=true_lens - 1,
     )
-    last = jax.vmap(
-        lambda row, t: jax.lax.dynamic_index_in_dim(row, t - 1, axis=0,
-                                                    keepdims=False)
-    )(logits, true_lens)
-    first = _sample_rows(last, key, temps, topks, topk_cap)
+    first = _sample_rows(logits[:, -1, :], key, temps, topks, topk_cap)
     # insert each real row's first `upto` positions into its slot (row
     # count R is static and small, so the python loop unrolls). Dummy
     # rows (slot == -1) write the destination's CURRENT content back —
@@ -511,12 +505,10 @@ def _prefill_chunk_step(params, cfg: ModelConfig, chunk, caches, offset: int,
         offset + jnp.arange(c, dtype=jnp.int32), (r, c)
     )
     logits, caches = forward_inner(
-        params, cfg, chunk, positions, caches, offset, lora_idx=lora_ids
+        params, cfg, chunk, positions, caches, offset, lora_idx=lora_ids,
+        last_pos=jnp.broadcast_to(last_idx, (r,)).astype(jnp.int32),
     )
-    last = jnp.take_along_axis(
-        logits, jnp.broadcast_to(last_idx, (r,))[:, None, None], axis=1
-    )[:, 0]
-    return last, caches
+    return logits[:, -1, :], caches
 
 
 @functools.partial(
@@ -556,13 +548,9 @@ def _prefill_commit_paged(params, cfg: ModelConfig, tokens, true_lens,
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (r, s))
     logits, scratch = forward_inner(
         params, cfg, tokens, positions, scratch, jnp.int32(0), a8=a8,
-        lora_idx=lora_ids,
+        lora_idx=lora_ids, last_pos=true_lens - 1,
     )
-    last = jax.vmap(
-        lambda row, t: jax.lax.dynamic_index_in_dim(row, t - 1, axis=0,
-                                                    keepdims=False)
-    )(logits, true_lens)
-    first = _sample_rows(last, key, temps, topks, topk_cap)
+    first = _sample_rows(logits[:, -1, :], key, temps, topks, topk_cap)
     bs = caches[0].block_size
     idx = blocks.reshape(r * nb)
 

@@ -38,8 +38,11 @@ def prefill(params, cfg, tokens, caches, use_flash: bool = True,
     throughput, small extra quantization error) — prefill only."""
     b, s = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    # last_only: the [B, S, V] head output is the largest prefill temp
+    # (262 MB at 13B b=4) and S x the needed head FLOPs
     logits, caches = forward(
-        params, cfg, tokens, positions, caches, 0, use_flash=use_flash, a8=a8
+        params, cfg, tokens, positions, caches, 0, use_flash=use_flash, a8=a8,
+        last_only=True,
     )
     return logits[:, -1, :], caches
 
@@ -63,7 +66,8 @@ def _prefill_chunk(params, cfg, tokens, caches, offset: int,
     # forward_inner directly (not the jitted forward): `offset` must stay a
     # python int so attention() takes the static-slice chunked path
     logits, caches = forward_inner(
-        params, cfg, tokens, positions, caches, offset, use_flash=use_flash
+        params, cfg, tokens, positions, caches, offset, use_flash=use_flash,
+        last_only=True,
     )
     return logits[:, -1, :], caches
 

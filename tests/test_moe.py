@@ -157,7 +157,7 @@ def test_moe_grouped_prefill_ep_parity():
         lambda m, xx: jax.lax.psum(
             moe_apply(m, xx, k, tp_axis="model", interpret=True), "model"
         ),
-        mesh=mesh, in_specs=(specs, P()), out_specs=P(), check_rep=False,
+        mesh=mesh, in_specs=(specs, P()), out_specs=P(), check_vma=False,
     )
     got = fn(moe, x)
     np.testing.assert_allclose(
@@ -172,7 +172,7 @@ def test_moe_grouped_prefill_ep_parity():
         lambda m, xx: jax.lax.psum(
             moe_apply(m, xx, k, tp_axis="model", interpret=True), "model"
         ),
-        mesh=mesh4, in_specs=(specs, P()), out_specs=P(), check_rep=False,
+        mesh=mesh4, in_specs=(specs, P()), out_specs=P(), check_vma=False,
     )
     got4 = fn4(moe, x)
     np.testing.assert_allclose(
