@@ -427,24 +427,31 @@ def make_forward_fn(
     model: ShardedModel,
     use_flash: bool = True,
     per_row_offset: bool = False,
+    last_pos: bool = False,
 ) -> Callable:
     """Returns fwd(params, tokens, positions, caches, offset) -> (logits,
     caches): a jitted shard_map over the (data, model) mesh computing the TP
     decoder with explicit collectives.
 
     per_row_offset=True makes `offset` a [B] vector of per-row cache
-    positions (continuous batching), sharded with the batch."""
+    positions (continuous batching), sharded with the batch.
+
+    last_pos=True adds a trailing `last_idx` [B] argument: each row's
+    hidden state is gathered at its own index BEFORE the lm_head, so the
+    head computes [B, 1, V_local] and the vocab all_gather moves 1/S of
+    the bytes (prefill needs only next-token logits)."""
     cfg, mesh, tp = model.cfg, model.mesh, model.tp
     from jax import shard_map
 
     n_layers = cfg.num_layers
     caches_spec = [KVCache(k=cache_spec(), v=cache_spec()) for _ in range(n_layers)]
 
-    def local_fwd(params, tokens, positions, caches, offset):
+    def local_fwd(params, tokens, positions, caches, offset, last_idx=None):
         local = _unstack_local(params, model.specs)
         return forward_inner(
             local, cfg, tokens, positions, caches, offset,
             use_flash=use_flash, tp=tp, tp_axis=MODEL_AXIS,
+            last_pos=last_idx,
         )
 
     fwd = shard_map(
@@ -456,7 +463,7 @@ def make_forward_fn(
             P(DATA_AXIS, None),
             caches_spec,
             P(DATA_AXIS) if per_row_offset else P(),
-        ),
+        ) + ((P(DATA_AXIS),) if last_pos else ()),
         out_specs=(P(DATA_AXIS, None, None), caches_spec),
         # check_vma would be the one static safety net shard_map offers,
         # but it requires `vma` annotations on every ShapeDtypeStruct the

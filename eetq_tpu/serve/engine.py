@@ -248,6 +248,9 @@ class _ShardedBackend:
         self.dp = model.mesh.shape[DATA_AXIS]
         self._fwd_scalar = make_forward_fn(model)
         self._fwd_rows = make_forward_fn(model, per_row_offset=True)
+        # prefill variant: per-row head gather BEFORE the vocab all_gather
+        # ([R, 1, V] collective instead of [R, S, V])
+        self._fwd_prefill = make_forward_fn(model, last_pos=True)
         self._multi = {}
         self._insert = {}
         self._specw = {}
@@ -288,14 +291,11 @@ class _ShardedBackend:
     def prefill(self, tokens, true_lens, bucket, caches):
         r, s = tokens.shape
         positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (r, s))
-        logits, caches = self._fwd_scalar(
-            self.params, tokens, positions, caches, jnp.int32(0)
+        logits, caches = self._fwd_prefill(
+            self.params, tokens, positions, caches, jnp.int32(0),
+            (true_lens - 1).astype(jnp.int32),
         )
-        # per-row gather (take_along_axis shards cleanly over the data axis,
-        # unlike vmap'd dynamic_index which demands matching input specs)
-        idx = (true_lens - 1).astype(jnp.int32)[:, None, None]
-        last = jnp.take_along_axis(logits, idx, axis=1)[:, 0]
-        return last, caches
+        return logits[:, -1, :], caches
 
     def decode(self, tokens, lengths, caches, lora_ids=None):
         assert lora_ids is None, "banked LoRA is local-backend only"
