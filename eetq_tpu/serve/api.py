@@ -38,6 +38,7 @@ the device once per window/chain, so that's the natural token batch).
 from __future__ import annotations
 
 import json
+import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -175,7 +176,16 @@ class EngineServer:
                     chunk(b"data: " + json.dumps(ev).encode() + b"\n\n")
                 chunk(b"")  # terminating chunk
 
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        class _Server(ThreadingHTTPServer):
+            def handle_error(self, request, client_address):
+                # a client hanging up mid-stream (SSE consumers often do)
+                # is normal operation, not a server error worth a traceback
+                exc = sys.exception()
+                if isinstance(exc, (ConnectionResetError, BrokenPipeError)):
+                    return
+                super().handle_error(request, client_address)
+
+        self._httpd = _Server((host, port), Handler)
         self.host, self.port = self._httpd.server_address[:2]
 
     # ---- scheduler ----
