@@ -154,15 +154,16 @@ def bench_decode(params, cfg, batch, prompt_len, new_tokens, sync_s) -> dict:
     _fetch(token)
     compile_prefill = time.perf_counter() - t0
     t0 = time.perf_counter()
-    toks, _ = decode_loop(params, cfg, token, jnp.int32(prompt_len), caches,
-                          new_tokens, fused_mlp=fused)
+    toks, dcaches = decode_loop(params, cfg, token, jnp.int32(prompt_len),
+                                caches, new_tokens, fused_mlp=fused)
     _fetch(toks)
     compile_decode = time.perf_counter() - t0
     log(f"  compile+first: prefill {compile_prefill:.1f}s decode {compile_decode:.1f}s")
 
-    # timed prefill (free the warmup caches first: two live cache sets push
-    # 13B-on-16GB over the edge)
-    del token, caches
+    # timed prefill (free the warmup caches first — INCLUDING the caches
+    # decode_loop returned: two live cache sets push 13B-on-16GB over the
+    # edge at b>=2)
+    del token, caches, toks, dcaches
     gc.collect()
     t0 = time.perf_counter()
     logits2, _c2 = do_prefill(
@@ -185,10 +186,11 @@ def bench_decode(params, cfg, batch, prompt_len, new_tokens, sync_s) -> dict:
         token, caches = run()
         _fetch(token)
         t0 = time.perf_counter()
-        toks, _ = decode_loop(params, cfg, token, jnp.int32(prompt_len),
-                              caches, new_tokens, fused_mlp=fused)
+        toks, dcaches = decode_loop(params, cfg, token, jnp.int32(prompt_len),
+                                    caches, new_tokens, fused_mlp=fused)
         _fetch(toks)
         decode_s = min(decode_s, max(time.perf_counter() - t0 - sync_s, 1e-9))
+        del token, caches, toks, dcaches  # next run() allocates fresh caches
     toks_per_s = batch * steps / decode_s
     return {
         "prefill_s": round(prefill_s, 4),
