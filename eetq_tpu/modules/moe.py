@@ -108,7 +108,13 @@ def _grouped_bm(n_sel: int, e: int) -> int:
     stream compute-bound on the MXU (2*bm flops per int8 weight byte needs
     bm >= ~120 at v5e's 197 TF/s / 819 GB/s); smaller prefills shrink bm
     toward the balanced per-expert count so padding blocks stay bounded
-    (total blocks <= n_sel/bm + E, one partial block per expert)."""
+    (total blocks <= n_sel/bm + E, one partial block per expert).
+
+    EETQ_MOE_GROUPED_BM overrides (trace-time, like the other MoE knobs)
+    for on-hardware block-size A/Bs (scripts/bench_moe.py)."""
+    env = os.environ.get("EETQ_MOE_GROUPED_BM")
+    if env:
+        return int(env)
     per = n_sel // max(e, 1)
     return max(8, min(128, 8 * (per // 8) or 8))
 
