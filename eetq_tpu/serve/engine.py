@@ -665,11 +665,15 @@ class Engine:
         # bound any request's top_k may take (lax.top_k needs a static k —
         # the per-row k is dynamic below the cap).
         # r5 measured-default promotion (README "serving defaults"):
-        # quantized LOCAL models on TPU get int8 KV caches (r4 interleaved
-        # A/B: 9.64 vs 9.90 ms/step decode, SNR/KL accuracy gates in
-        # tests/test_accuracy.py) and W8A8 int8-activation prefill (r4
-        # mistral trace: 178.9 vs 170.8 tok/s served, p99 91.8 vs 98.1 ms).
-        # Pass kv_dtype=jnp.bfloat16 / a8_prefill=False to opt out; CPU and
+        # quantized LOCAL models on TPU get W8A8 int8-activation prefill
+        # (interleaved A/Bs: +1.5% at p=128, +5.9% at p=1024 engine tok/s;
+        # r4 mistral trace: 178.9 vs 170.8 tok/s served, p99 91.8 vs 98.1
+        # ms) and — for LONG caches only (max_len >= 512) — int8 KV
+        # (p=1024: 162.0 vs 160.3 tok/s with a8, decode 9.64 vs 9.90
+        # ms/step; but p=128: 203.3 vs 213.9, the per-step scale streaming
+        # costs more than the small cache saves — scripts/r5_results.jsonl,
+        # SNR/KL accuracy gates in tests/test_accuracy.py). Pass
+        # kv_dtype=jnp.bfloat16 / a8_prefill=False to opt out; CPU and
         # sharded/paged/dense-model engines keep the bf16-exact defaults.
         on_tpu = jax.default_backend() == "tpu"
         if cfg is None:
@@ -692,6 +696,7 @@ class Engine:
                 kv_dtype = (
                     jnp.int8
                     if on_tpu and q_local and paged_blocks is None
+                    and max_len >= 512
                     else jnp.bfloat16
                 )
             self._backend = _LocalBackend(params, cfg, a8_prefill=a8_prefill)
