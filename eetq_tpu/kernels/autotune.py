@@ -204,6 +204,28 @@ def _heuristic_config(m: int, kp: int, np_: int, bits: int = 8) -> MatmulConfig:
                 score = (bm * bn, bk)  # prefer big output tiles, then deep K
                 if best is None or score > best[0]:
                     best = (score, cfg)
+    if best is not None and best[1].bk < 1024 and bits == 8:
+        # Kp has no deep power-of-two divisor (llama down 11008 = 2^8*43,
+        # 13824 = 2^9*27): the fixed candidate list collapses to a shallow
+        # bk and the k-loop dominates — down proj measured 103-116 TF/s at
+        # (256, 512, 256). A deep odd-factor divisor paired with bm=128
+        # (VMEM headroom) restores pipeline depth: (128, 512, 5504)
+        # measured 134-144 TF/s on the same GEMM, interleaved reps
+        # (scripts/r5_results.jsonl "down_bk"). bk needs only 128-lane
+        # alignment (the packed layout is row-major padded, k_tile is a
+        # padding granule, not an interleave); int4's halved K rows keep
+        # the proven power-of-two blocks.
+        deep = [
+            d for d in range(128, min(kp, 8192) + 1, 128)
+            if kp % d == 0 and d > best[1].bk
+        ]
+        for bn in (512, 256):
+            if np_ % bn:
+                continue
+            for d in reversed(deep):
+                cfg = MatmulConfig(128, bn, d)
+                if cfg.vmem_bytes() <= VMEM_BUDGET_BYTES:
+                    return cfg
     if best is None:
         return MatmulConfig(bm=128, bn=256, bk=256)
     return best[1]

@@ -173,11 +173,11 @@ def main():
         _fetch(logits)
         ts.append(time.perf_counter() - t0)
     e2e = min(ts) - _SYNC[0]
-    flops = 2 * p * (
-        CFG.num_layers * (h * (hd + 2 * hkv) * d + hd * d * h
-                          + h * 2 * inter + inter * h)
-        + h * v
-    )
+    # head term is 1 row, not p: production prefill computes the lm_head
+    # at the last position only (transformer.forward_inner last_only)
+    flops = 2 * p * CFG.num_layers * (
+        h * (hd + 2 * hkv) * d + hd * d * h + h * 2 * inter + inter * h
+    ) + 2 * h * v
     print(f"\nend-to-end prefill (production path): {e2e*1e3:.1f} ms "
           f"= {flops/e2e/1e12:.1f} TF/s "
           f"({100*flops/e2e/BF16_PEAK:.1f}% of bf16 peak)")
