@@ -298,9 +298,12 @@ def main():
         "value": round(r_q["decode_tok_s"], 2),
         "unit": "tok/s",
         # record the knobs that change what the number means, so rows are
-        # comparable across versions without out-of-band knowledge
+        # comparable across versions without out-of-band knowledge.
+        # "kv" describes the QUANTIZED run (the metric); the bf16 baseline
+        # always benches with bf16 KV (bench_decode's per-model default).
         "fused_mlp": os.environ.get("EETQ_BENCH_FUSED_MLP", "1") != "0",
         "kv": os.environ.get("EETQ_BENCH_KV", "int8"),
+        "baseline_kv": "bf16",
         "reps": int(os.environ.get("EETQ_BENCH_REPS", 6)),
     }
     if r_bf16 is not None:

@@ -132,11 +132,11 @@ def ring_attention(
         if causal:
             run = src <= idx
             if window is not None:
-                # the chunk's last col must reach the EARLIEST local
-                # window start (first local row's window): rows start at
-                # idx*sq, so cols <= idx*sq - window never attend... use
-                # the LAST local row (idx*sq + sq - 1): a chunk is dead
-                # only if even that row's window excludes its last col
+                # old-chunk liveness is governed by the FIRST local row
+                # (idx*sq): it has the smallest window start, so a chunk
+                # is dead only when even its last col falls at or before
+                # idx*sq - window (later rows' windows start even higher,
+                # excluding the chunk a fortiori)
                 run &= (src * skv + skv - 1) > (idx * sq - window)
             o2, m2, l2 = jax.lax.cond(run, attend, skip, operand=None)
         else:

@@ -47,6 +47,30 @@ from eetq_tpu.utils.logging import get_logger
 log = get_logger(__name__)
 
 
+def _stream_delta(prev_text: str, text: str, done: bool):
+    """Compute the SSE text delta for a growing token sequence.
+
+    A poll window can end mid-UTF-8-sequence: the incomplete trailing
+    bytes decode to U+FFFD which the NEXT window rewrites once the
+    character completes, so emitting it (and recording it in prev_text)
+    would stream a stray replacement char and then misalign every later
+    delta. Trailing replacement chars are therefore held back until more
+    text follows them or the stream ends. Returns (delta, restart_at,
+    new_prev_text); restart_at is None normally, or the common-prefix
+    length if the decoded text diverged from what was already emitted
+    (defensive resync — the client should rewind to that offset)."""
+    if not done:
+        text = text.rstrip("�")
+    if text.startswith(prev_text):
+        return text[len(prev_text):], None, text
+    common = 0
+    for a, b in zip(prev_text, text):
+        if a != b:
+            break
+        common += 1
+    return text[common:], common, text
+
+
 class EngineServer:
     """Threaded HTTP server around a serve.Engine.
 
@@ -168,11 +192,19 @@ class EngineServer:
                     if outer.detokenize is not None:
                         # decode the WHOLE sequence and emit the delta, so
                         # multi-token text (byte-fallback utf-8, merged
-                        # whitespace) split across windows stays correct
+                        # whitespace) split across windows stays correct.
+                        # A token batch can end mid-UTF-8-sequence; the
+                        # partial char decodes to U+FFFD which the next
+                        # batch would rewrite — hold trailing replacement
+                        # chars back until the sequence completes (or the
+                        # stream ends, when whatever remains is emitted).
                         all_toks.extend(toks)
-                        text = outer.detokenize(all_toks)
-                        ev["text"] = text[len(prev_text):]
-                        prev_text = text
+                        delta, restart, prev_text = _stream_delta(
+                            prev_text, outer.detokenize(all_toks), done
+                        )
+                        ev["text"] = delta
+                        if restart is not None:
+                            ev["restart_at"] = restart
                     chunk(b"data: " + json.dumps(ev).encode() + b"\n\n")
                 chunk(b"")  # terminating chunk
 

@@ -739,6 +739,30 @@ class Engine:
             sorted(b for b in prompt_buckets if b <= self.max_len)
         ) or (self.max_len,)
         self.kv_dtype = kv_dtype
+        if decode_window is None:
+            decode_window = 8 if jax.default_backend() == "tpu" else 1
+        self.decode_window = max(1, decode_window)
+        # spec_ngram=k: decode windows run n-gram (prompt-lookup)
+        # SPECULATIVE rounds instead of sequential steps — each verify
+        # forward over k+1 tokens rides the m<=8 decode-GEMV regime and
+        # costs ~one decode step, so every accepted draft token is nearly
+        # free (serve/spec.py).
+        self.spec_ngram = spec_ngram
+        if spec_ngram is not None and not 1 <= spec_ngram <= 7:
+            raise ValueError("spec_ngram must be in [1, 7] (the k+1-"
+                             "token verify must stay in the m<=8 "
+                             "decode regime)")
+        # Physical KV length: the spec verify writes k+1 DRAFT entries at
+        # start = lengths + m, and inside one device-side window a row can
+        # advance up to window-1 first — near max_len those writes would
+        # otherwise be CLAMPED by dynamic_update_slice (dense) / the block
+        # table bound (paged) onto committed KV and corrupt it. Same slack
+        # as spec_generate's `max_len = s + new + 2k + 1` (spec.py:330),
+        # plus the window advance. Requests are still budgeted against
+        # max_len; only the allocation is larger.
+        self._kv_len = self.max_len + (
+            self.decode_window + 2 * spec_ngram + 1 if spec_ngram else 0
+        )
         # paged_blocks: decode caches become a shared block POOL of that
         # many paged_block_size-token blocks per layer (vLLM-style paging,
         # TPU-native — modules.paged). Slots borrow blocks as their
@@ -753,7 +777,7 @@ class Engine:
 
             bs = paged_block_size
             self.paged_bs = bs
-            self._max_seq_blocks = -(-self.max_len // bs)
+            self._max_seq_blocks = -(-self._kv_len // bs)
             self.caches = [
                 init_paged_kv_cache(
                     paged_blocks, bs, cfg.num_kv_heads, cfg.head_dim,
@@ -778,22 +802,8 @@ class Engine:
             self._table_dirty = True
         else:
             self.caches = self._backend.place_caches(
-                init_caches(cfg, max_batch, self.max_len, kv_dtype)
+                init_caches(cfg, max_batch, self._kv_len, kv_dtype)
             )
-        if decode_window is None:
-            decode_window = 8 if jax.default_backend() == "tpu" else 1
-        self.decode_window = max(1, decode_window)
-        # spec_ngram=k: decode windows run n-gram (prompt-lookup)
-        # SPECULATIVE rounds instead of sequential steps — each verify
-        # forward over k+1 tokens rides the m<=8 decode-GEMV regime and
-        # costs ~one decode step, so every accepted draft token is nearly
-        # free (serve/spec.py). Greedy-exact; greedy requests only.
-        self.spec_ngram = spec_ngram
-        if spec_ngram is not None:
-            if not 1 <= spec_ngram <= 7:
-                raise ValueError("spec_ngram must be in [1, 7] (the k+1-"
-                                 "token verify must stay in the m<=8 "
-                                 "decode regime)")
         # prefill_chunk: prompts whose bucket exceeds this prefill one
         # chunk per scheduler step (decode advances BETWEEN chunks —
         # bounded head-of-line latency for running slots). Local backend

@@ -161,3 +161,30 @@ def test_http_concurrent_requests_batch(params):
             assert results[i] == _ref_greedy(params, prompts[i], budgets[i])
     finally:
         srv.shutdown()
+
+
+def test_stream_delta_utf8_split():
+    """A poll window ending mid-UTF-8-sequence must not stream the U+FFFD
+    placeholder (it would misalign every later delta); trailing incomplete
+    chars are held back until they complete or the stream ends."""
+    from eetq_tpu.serve.api import _stream_delta
+
+    emoji = "\N{THUMBS UP SIGN}"  # 4 UTF-8 bytes
+    raw = f"ok {emoji}!".encode()
+    # window 1 cuts the emoji after 2 of its 4 bytes
+    t1 = raw[:5].decode("utf-8", errors="replace")
+    assert t1.endswith("�")
+    d1, r1, prev = _stream_delta("", t1, done=False)
+    assert d1 == "ok " and r1 is None
+    # window 2 completes the char
+    t2 = raw.decode("utf-8")
+    d2, r2, prev = _stream_delta(prev, t2, done=False)
+    assert d2 == f"{emoji}!" and r2 is None
+    assert d1 + d2 == f"ok {emoji}!"
+    # a trailing incomplete char at stream end IS emitted (nothing can
+    # complete it)
+    d3, r3, prev2 = _stream_delta("", t1, done=True)
+    assert d3 == t1 and r3 is None
+    # defensive resync when the decoded text diverges from what was sent
+    d4, r4, _ = _stream_delta("ok X", "ok Y more", done=False)
+    assert r4 == 3 and d4 == "Y more"

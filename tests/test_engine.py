@@ -501,6 +501,36 @@ def test_spec_engine_eos_mid_window(params):
     assert eng.result(uid) == full[:5]
 
 
+def test_spec_engine_exact_at_cache_brim(params):
+    """A request that fills the cache to the BRIM stays greedy-exact under
+    spec windows. Regression: the n-gram verify writes k+1 draft KV
+    entries at lengths+m; without the engine's spec KV slack
+    (_kv_len > max_len) those writes clamp (dynamic_update_slice) onto
+    committed KV near max_len and corrupt the attention reads — r5 review
+    reproduced divergence at token 116/120 with max_len=128, k=7."""
+    prompt = [3, 17, 42, 9, 3, 17, 42, 11]
+    budget = 120  # prompt + budget == max_len: zero slack in max_len itself
+    eng = Engine(params, CFG, max_batch=1, max_len=128, prompt_buckets=(8,),
+                 decode_window=8, spec_ngram=7)
+    uid = eng.add_request(prompt, max_new_tokens=budget)
+    eng.run()
+    assert eng.result(uid) == _ref_greedy(params, prompt, budget)
+
+
+def test_spec_engine_paged_exact_at_cache_brim(params):
+    """Same brim regression through the PAGED path: the per-row block
+    tables must cover the draft overshoot (lengths + window + k + 1) —
+    _max_seq_blocks is sized from _kv_len, not max_len."""
+    prompt = [3, 17, 42, 9, 3, 17, 42, 11]
+    budget = 120
+    eng = Engine(params, CFG, max_batch=1, max_len=128, prompt_buckets=(8,),
+                 decode_window=8, spec_ngram=7, paged_blocks=8,
+                 paged_block_size=128)
+    uid = eng.add_request(prompt, max_new_tokens=budget)
+    eng.run()
+    assert eng.result(uid) == _ref_greedy(params, prompt, budget)
+
+
 def test_spec_engine_validation(params):
     with pytest.raises(ValueError):
         Engine(params, CFG, max_batch=1, max_len=64, spec_ngram=9)
