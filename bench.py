@@ -128,9 +128,17 @@ def bench_decode(params, cfg, batch, prompt_len, new_tokens, sync_s) -> dict:
     # interleaved A/Bs: 9.64 vs 9.90 ms/step at 7B p1024; halves KV bytes
     # — also the 13B b>=2 enabler on 16 GB). EETQ_BENCH_KV=bf16 reverts;
     # the bf16 baseline model always benches with bf16 KV.
-    kv_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8}[
-        os.environ.get("EETQ_BENCH_KV", "int8" if quantized else "bf16")
-    ]
+    # EETQ_BENCH_KV applies to the QUANTIZED run only — the bf16 baseline
+    # is DEFINED at bf16 KV (the emitted row's baseline_kv field), so an
+    # explicit int8 override must not silently change what the speedup
+    # ratio means.
+    kv_dtype = (
+        {"bf16": jnp.bfloat16, "int8": jnp.int8}[
+            os.environ.get("EETQ_BENCH_KV", "int8")
+        ]
+        if quantized
+        else jnp.bfloat16
+    )
 
     # EETQ_BENCH_PREFILL_CHUNK=N prefills in N-token chunks: bounds prefill
     # activation temps to the chunk (the 13B b=4 enabler — 13.2 GB weights

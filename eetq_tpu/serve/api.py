@@ -198,6 +198,12 @@ class EngineServer:
                         # batch would rewrite — hold trailing replacement
                         # chars back until the sequence completes (or the
                         # stream ends, when whatever remains is emitted).
+                        # full-sequence re-decode per window is O(n^2) over
+                        # the stream, but it is dict lookups at ~us/token —
+                        # sub-ms per event even at 2k tokens, dwarfed by the
+                        # device round-trip; suffix-decode would have to
+                        # re-implement decoder-chain (Replace/Metaspace)
+                        # boundary semantics for that non-win
                         all_toks.extend(toks)
                         delta, restart, prev_text = _stream_delta(
                             prev_text, outer.detokenize(all_toks), done
@@ -212,7 +218,7 @@ class EngineServer:
             def handle_error(self, request, client_address):
                 # a client hanging up mid-stream (SSE consumers often do)
                 # is normal operation, not a server error worth a traceback
-                exc = sys.exception()
+                exc = sys.exc_info()[1]  # sys.exception() needs 3.12+
                 if isinstance(exc, (ConnectionResetError, BrokenPipeError)):
                     return
                 super().handle_error(request, client_address)

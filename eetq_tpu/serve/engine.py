@@ -994,9 +994,17 @@ class Engine:
         blocks = self._slot_blocks[slot]
         while len(blocks) < need:
             if not self._free_blocks:
+                hint = (
+                    " (spec_ngram engines additionally reserve up to "
+                    "ceil((window + 2k + 1)/block_size) + 1 overshoot "
+                    "blocks per ACTIVE slot for draft KV — size the pool "
+                    "for max_batch * ceil(_kv_len/block_size))"
+                    if self.spec_ngram
+                    else ""
+                )
                 raise RuntimeError(
                     "paged KV pool exhausted — raise paged_blocks, lower "
-                    "max_batch, or shorten max_new_tokens"
+                    "max_batch, or shorten max_new_tokens" + hint
                 )
             b = self._free_blocks.pop()
             self._table_np[slot, len(blocks)] = b

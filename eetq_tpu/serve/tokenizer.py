@@ -153,7 +153,7 @@ class Tokenizer:
         for n in self.normalizers:
             t = n.get("type")
             if t == "Replace":
-                text = text.replace(_pattern(n["pattern"]), n["content"])
+                text = _replace(text, _pattern(n["pattern"]), n["content"])
             elif t == "Prepend":
                 if text and not text.startswith(n["prepend"]):
                     text = n["prepend"] + text
@@ -186,7 +186,10 @@ class Tokenizer:
                     words = [m for w in words for m in _GPT2_RE.findall(w)]
             elif t == "Split":
                 pat = _pattern(p["pattern"], allow_regex=True)
-                rx = pat if isinstance(pat, re.Pattern) else re.compile(re.escape(pat))
+                # String patterns are literals; anything else is a compiled
+                # pattern (possibly from the `regex` module, which is NOT an
+                # re.Pattern instance)
+                rx = re.compile(re.escape(pat)) if isinstance(pat, str) else pat
                 behavior = p.get("behavior", "Removed")
                 nxt = []
                 for w in words:
@@ -299,7 +302,7 @@ class Tokenizer:
             t = d.get("type")
             if t == "Replace":
                 pat = _pattern(d["pattern"])
-                toks = [x.replace(pat, d["content"]) for x in toks]
+                toks = [_replace(x, pat, d["content"]) for x in toks]
             elif t == "ByteFallback":
                 out, buf = [], bytearray()
                 for x in toks:
@@ -366,14 +369,42 @@ def _flatten(component) -> list[dict]:
     return [component]
 
 
+def _compile(src: str):
+    """Compile a tokenizer.json Regex. Real tokenizer files (gpt2/qwen2
+    Split pre-tokenizers) use Rust-regex syntax — notably Unicode property
+    escapes (\\p{L}, \\p{N}) that Python's `re` rejects with 'bad escape
+    \\p' — so those route through the `regex` module."""
+    if re.search(r"\\[pP]\{", src):
+        try:
+            import regex
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                f"tokenizer pattern {src[:60]!r} uses Unicode property "
+                "escapes; the 'regex' package is required for it"
+            ) from e
+        return regex.compile(src)
+    return re.compile(src)
+
+
 def _pattern(p, allow_regex: bool = False):
+    """Resolve a tokenizers pattern node. Returns a str for String
+    patterns; for Regex patterns returns a compiled pattern (callers must
+    branch on the type — a regex source applied as a literal would
+    silently match nothing)."""
     if isinstance(p, dict):
         if "String" in p:
             return p["String"]
         if "Regex" in p:
-            rx = re.compile(p["Regex"])
-            return rx if allow_regex else p["Regex"]
+            return _compile(p["Regex"])
     return p
+
+
+def _replace(text: str, pattern, content: str) -> str:
+    """tokenizers `Replace`: literal for String patterns, re.sub for Regex
+    (content is literal replacement text, never group references)."""
+    if isinstance(pattern, str):
+        return text.replace(pattern, content)
+    return pattern.sub(lambda _m: content, text)
 
 
 def _split(rx: re.Pattern, text: str, behavior: str, invert: bool) -> list[str]:
@@ -382,12 +413,21 @@ def _split(rx: re.Pattern, text: str, behavior: str, invert: bool) -> list[str]:
         return rx.findall(text)
     pieces, last = [], 0
     for m in rx.finditer(text):
-        if m.start() > last:
-            pieces.append(text[last : m.start()])
+        gap = text[last : m.start()]
+        if behavior == "MergedWithPrevious":
+            # each match fuses with ITS preceding segment (possibly empty:
+            # a leading or consecutive delimiter forms its own piece — the
+            # tokenizers crate's "the-final--countdown" ->
+            # ["the-", "final-", "-", "countdown"] semantics; merging into
+            # pieces[-1] instead would both drop a leading match and fuse
+            # consecutive delimiters)
+            pieces.append(gap + m.group())
+            last = m.end()
+            continue
+        if gap:
+            pieces.append(gap)
         if behavior == "Isolated":
             pieces.append(m.group())
-        elif behavior == "MergedWithPrevious" and pieces:
-            pieces[-1] += m.group()
         elif behavior == "MergedWithNext":
             pieces.append(m.group())  # will fuse with the next piece below
         last = m.end()

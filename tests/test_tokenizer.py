@@ -218,3 +218,59 @@ def test_http_text_prompt_without_tokenizer_is_400():
         assert "tokenizer" in json.loads(r.read())["error"]
     finally:
         srv.shutdown()
+
+
+def test_split_unicode_property_pattern():
+    """qwen2/gpt2-family tokenizer.json Split pre-tokenizers use Rust-regex
+    Unicode property escapes (\\p{L}, \\p{N}) that Python `re` rejects —
+    they must compile (via the `regex` module) and split correctly."""
+    spec = _bytelevel_spec()
+    # the real qwen2 layout: Sequence [Split(Regex with \p{}), ByteLevel
+    # without its own regex]
+    spec["pre_tokenizer"] = {
+        "type": "Sequence",
+        "pretokenizers": [
+            {
+                "type": "Split",
+                "pattern": {
+                    "Regex": r" ?\p{L}+| ?\p{N}+|[^\s\p{L}\p{N}]+|\s+"
+                },
+                "behavior": "Isolated",
+                "invert": False,
+            },
+            {"type": "ByteLevel", "add_prefix_space": False,
+             "use_regex": False},
+        ],
+    }
+    tok = Tokenizer(spec)
+    ids = tok.encode("hello world")
+    assert tok.decode(ids) == "hello world"
+
+
+def test_split_merged_with_previous_semantics():
+    """tokenizers-crate MergedWithPrevious: each match fuses with ITS
+    preceding segment — a leading or consecutive delimiter forms its own
+    piece ('the-final--countdown' -> ['the-', 'final-', '-', 'countdown'],
+    '-abc' keeps the leading '-')."""
+    import re as _re
+
+    from eetq_tpu.serve.tokenizer import _split
+
+    rx = _re.compile("-")
+    assert _split(rx, "the-final--countdown", "MergedWithPrevious", False) \
+        == ["the-", "final-", "-", "countdown"]
+    assert _split(rx, "-abc", "MergedWithPrevious", False) == ["-", "abc"]
+    assert "".join(_split(rx, "-a--b-", "MergedWithPrevious", False)) == "-a--b-"
+
+
+def test_replace_decoder_regex_pattern():
+    """A Replace decoder whose pattern is {'Regex': ...} must substitute
+    via the compiled pattern, not literal str.replace of the source."""
+    spec = _sentencepiece_spec()
+    # replace runs of underscores (regex) with one space in decode output
+    spec["decoder"]["decoders"][0] = {
+        "type": "Replace", "pattern": {"Regex": "▁+"}, "content": " ",
+    }
+    tok = Tokenizer(spec)
+    ids = tok.encode("hello world")
+    assert tok.decode(ids) == "hello world"
