@@ -463,7 +463,23 @@ def pp_prefill(model: PipelinedModel, tokens, caches, microbatches: int = 1):
     """GPipe-microbatched prefill. tokens [B, S]; B must divide by
     microbatches (and by the data-axis size). Returns (last-token logits
     [B, V] f32, caches)."""
+    _check_pp_batch(model, tokens.shape[0], microbatches)
     return _pp_prefill_jit(model, model.params, tokens, caches, microbatches)
+
+
+def _check_pp_batch(model, b: int, m: int) -> None:
+    """The PER-SHARD batch must divide into microbatches — inside the
+    shard_map body `mbs = b_local // m` silently floors, so a non-dividing
+    batch would leave the trailing rows unprefilled (zero logits, no KV)
+    with no error. The global check alone is insufficient under dp > 1."""
+    dp = model.mesh.shape.get(DATA_AXIS, 1)
+    if b % dp:
+        raise ValueError(f"batch {b} not divisible by data shards {dp}")
+    if (b // dp) % m:
+        raise ValueError(
+            f"per-shard batch {b // dp} (global {b} / dp {dp}) not "
+            f"divisible by microbatches {m}"
+        )
 
 
 @functools.partial(
@@ -561,7 +577,13 @@ def _pp_decode_jit(model, params, first_token, start_pos, caches, num_steps,
         x0 = jnp.zeros((mbs, 1, h), jnp.bfloat16)
         t0 = jnp.zeros((mbs,), jnp.int32)
         out0 = jnp.zeros((m, mbs, max(steps, 1)), jnp.int32)
-        keys = jax.random.split(key, m)
+        # `key` arrives REPLICATED (P() spec): fold the data-shard index in
+        # first, or every dp shard draws identical Gumbel noise for the
+        # same (microbatch, step) and the shards' samples are correlated
+        # (equal logits would always yield equal tokens across shards)
+        keys = jax.random.split(
+            jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS)), m
+        )
         total_ticks = steps * m + pp - 1
         (x_recv, tok_recv, token_buf, caches, out_buf, _), _ = jax.lax.scan(
             tick,
@@ -606,10 +628,7 @@ def pp_decode_loop(
     point); must divide B and be >= 1 (>= pp for zero steady-state
     bubble)."""
     m = microbatches if microbatches is not None else model.pp
-    if first_token.shape[0] % m:
-        raise ValueError(
-            f"batch {first_token.shape[0]} not divisible by microbatches {m}"
-        )
+    _check_pp_batch(model, first_token.shape[0], m)
     if m < model.pp:
         # the ring schedule needs the sampled token back at stage 0 before
         # the microbatch's next turn: unit u's token arrives at tick

@@ -275,9 +275,21 @@ def paged_flash_decode(
 
     # pools have no batch dim; a leading [1] axis keeps the same per-block
     # layout as the dense kernel, with the POOL block chosen by the table
-    def kv_map_pool(bb, h, li, lens, tbl):
+    def _live_block(bb, li, lens):
+        """Clamp the L-block index into this row's LIVE range: above the
+        last valid block (repeated index -> Pallas skips the re-fetch) and,
+        under a sliding window, below the first block the kernel's
+        should_run would compute (pre-window blocks repeat the first live
+        block's DMA instead of streaming dead KV)."""
         last = jnp.maximum(lens[bb] - 1, 0) // bs
-        return 0, tbl[bb, jnp.minimum(li, last)], h, 0, 0
+        li = jnp.minimum(li, last)
+        if window is not None:
+            lo = jnp.maximum(lens[bb] - (s - 1) - window, 0) // bs
+            li = jnp.maximum(li, jnp.minimum(lo, last))
+        return li
+
+    def kv_map_pool(bb, h, li, lens, tbl):
+        return 0, tbl[bb, _live_block(bb, li, lens)], h, 0, 0
 
     in_specs = [
         pl.BlockSpec((1, bh, group * s, d),
@@ -292,8 +304,7 @@ def paged_flash_decode(
         # row (~128x the scale traffic). The whole head plane ships per
         # pool block (Hkv rides the equal-dim tile exemption).
         def sc_map_pool(bb, h, li, lens, tbl):
-            last = jnp.maximum(lens[bb] - 1, 0) // bs
-            return 0, tbl[bb, jnp.minimum(li, last)], 0, 0
+            return 0, tbl[bb, _live_block(bb, li, lens)], 0, 0
 
         in_specs.append(pl.BlockSpec((1, 1, hkv, bs), sc_map_pool))
         in_specs.append(pl.BlockSpec((1, 1, hkv, bs), sc_map_pool))
@@ -449,7 +460,18 @@ def flash_decode(
         # clamp the L-block index to the last VALID block for this row:
         # repeated indices make Pallas skip the re-fetch, so only
         # ceil(length/bl) blocks are DMA'd
-        return bb, h, jnp.minimum(li, jnp.maximum(lens[bb] - 1, 0) // bl), 0
+        top = jnp.maximum(lens[bb] - 1, 0) // bl
+        li = jnp.minimum(li, top)
+        if window is not None:
+            # blocks wholly below the sliding-window start are compute-
+            # skipped by the kernel (should_run mirrors this bound on the
+            # GRID index) — clamp them up to the first LIVE block so their
+            # DMA is skipped too; without this a long-context mistral
+            # decode fetched every pre-window block (~length/window x the
+            # required KV bandwidth)
+            lo = jnp.maximum(lens[bb] - (s - 1) - window, 0) // bl
+            li = jnp.maximum(li, jnp.minimum(lo, top))
+        return bb, h, li, 0
 
     in_specs = [
         pl.BlockSpec(

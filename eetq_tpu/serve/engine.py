@@ -246,7 +246,6 @@ class _ShardedBackend:
         self.params = model.params
         self.cfg = model.cfg
         self.dp = model.mesh.shape[DATA_AXIS]
-        self._fwd_scalar = make_forward_fn(model)
         self._fwd_rows = make_forward_fn(model, per_row_offset=True)
         # prefill variant: per-row head gather BEFORE the vocab all_gather
         # ([R, 1, V] collective instead of [R, S, V])
@@ -614,17 +613,6 @@ def _insert_rows(big: KVCache, small: KVCache, src, slot, upto_pad: int):
     return jax.tree.map(ins, big, small)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "temperature", "top_k"))
-def _sample_batch(logits, key, cfg, temperature: float, top_k: int):
-    if temperature == 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits / temperature
-    if top_k > 0:
-        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
-        logits = jnp.where(logits < kth, -jnp.inf, logits)
-    return jax.random.categorical(key, logits).astype(jnp.int32)
-
-
 class Engine:
     """Continuous-batching generation engine over one model.
 
@@ -680,8 +668,15 @@ class Engine:
             if a8_prefill:
                 raise ValueError("a8_prefill is not supported for sharded models yet")
             a8_prefill = False
-            if kv_dtype is None:
-                kv_dtype = jnp.bfloat16
+            if kv_dtype is not None and kv_dtype != jnp.bfloat16:
+                # the sharded cache specs (dist.sharding.cache_spec) carry
+                # no k_scale/v_scale leaves — an int8 cache would only die
+                # later with an opaque shard_map tree mismatch
+                raise ValueError(
+                    "int8 KV is not supported for sharded models yet "
+                    "(pass kv_dtype=jnp.bfloat16 or omit it)"
+                )
+            kv_dtype = jnp.bfloat16
             self._backend = _ShardedBackend(params)
             params, cfg = self._backend.params, self._backend.cfg
         else:
@@ -850,6 +845,10 @@ class Engine:
         prompt = [int(t) for t in np.asarray(prompt).ravel()]
         if not prompt:
             raise ValueError("empty prompt")
+        if max_new_tokens < 1:
+            # admission unconditionally commits the first prefill-sampled
+            # token, so a <=0 budget could not be honored anyway
+            raise ValueError(f"max_new_tokens must be >= 1, got {max_new_tokens}")
         if len(prompt) + max_new_tokens > self.max_len:
             raise ValueError(
                 f"prompt ({len(prompt)}) + max_new_tokens ({max_new_tokens}) "
@@ -1119,10 +1118,11 @@ class Engine:
                 )
             )
         for row, slot, req in assignments:
-            if self.paged and not paged_fused:
-                self._paged_activate(row, slot, len(req.prompt))
-            elif not fused and not paged_fused:
-                # one dispatch for ALL layers (generic tree.map insert)
+            if not fused and not paged_fused:
+                # sharded backend: one dispatch for ALL layers (generic
+                # tree.map insert). (Paged is local-only, so paged always
+                # goes through the fused prefill_commit_paged above —
+                # there is no unfused paged admission.)
                 self.caches = self._backend.insert_rows(
                     self.caches, self._scratch, jnp.int32(row),
                     jnp.int32(slot), upto,
@@ -1133,6 +1133,17 @@ class Engine:
             tok = int(first_np[row])
             self.next_token[slot] = tok
             self._commit(slot, tok)
+
+    def _chunk_eligible(self, req: Request) -> bool:
+        """True when `req`'s prompt bucket must prefill via the chunked
+        path (prefill_chunk set, bucket larger than and divisible by it)."""
+        if not self.prefill_chunk:
+            return False
+        bucket = self._bucket_for(len(req.prompt))
+        return (
+            bucket > self.prefill_chunk
+            and bucket % self.prefill_chunk == 0
+        )
 
     def _start_chunked(self, slot: int, req: Request) -> None:
         """Begin a chunked prefill: the slot is reserved (slot_req set, but
@@ -1176,9 +1187,16 @@ class Engine:
         # final chunk done: sample and activate the slot
         self._chunking = None
         self._key, sub = jax.random.split(self._key)
+        # the SAME sampler as every other path (step()'s one-sampler
+        # invariant): per-row temps/topks vectors, one compile for all
+        # (temperature, top_k) combinations
         tok = int(
-            _sample_batch(jnp.asarray(np.asarray(last_logits)[0])[None], sub,
-                          self.cfg, req.temperature, req.top_k)[0]
+            _sample_rows_jit(
+                jnp.asarray(np.asarray(last_logits)[0])[None], sub,
+                jnp.asarray([req.temperature], jnp.float32),
+                jnp.asarray([req.top_k], jnp.int32),
+                topk_cap=self.topk_cap,
+            )[0]
         )
         if self.paged:
             self._paged_activate(0, slot, n)
@@ -1283,12 +1301,7 @@ class Engine:
             self._chunk_step()
         elif self.queue:
             head = self.queue[0]
-            head_bucket = self._bucket_for(len(head.prompt))
-            if (
-                self.prefill_chunk
-                and head_bucket > self.prefill_chunk
-                and head_bucket % self.prefill_chunk == 0
-            ):
+            if self._chunk_eligible(head):
                 slot = self._free_slot()
                 if slot is not None:
                     self.queue.popleft()
@@ -1298,6 +1311,15 @@ class Engine:
                 assignments = []
                 for row in range(rows):  # under DP: scratch row i -> shard i
                     if not self.queue:
+                        break
+                    if self._chunk_eligible(self.queue[0]):
+                        # leave a chunk-eligible prompt at the HEAD for the
+                        # next step's chunk branch — admitting it here via
+                        # the grouped prefill would stall all running
+                        # slots for the whole long prompt (defeating
+                        # prefill_chunk's bounded head-of-line-latency
+                        # contract) and run a grouped program warmup()
+                        # never compiled for that bucket
                         break
                     slot = next(
                         (

@@ -370,6 +370,28 @@ def test_chunked_prefill_engine(params):
     assert eng.result(u_long) == ref_long
 
 
+def test_chunked_prefill_not_bypassed_behind_short_prompt(params):
+    """A chunk-eligible long prompt QUEUED BEHIND a short one must still
+    take the chunked path. Regression: step() only classified the queue
+    HEAD, so the grouped-admission loop swallowed the long prompt into one
+    full-bucket prefill — stalling every running slot for the whole prompt
+    and running a grouped program warmup() never compiled."""
+    rng = np.random.default_rng(5)
+    long_prompt = list(rng.integers(1, CFG.vocab_size, size=30))
+    short = [5, 6, 7]
+    eng = Engine(params, CFG, max_batch=4, max_len=96, prompt_buckets=(8, 32),
+                 prefill_chunk=8, decode_window=2)
+    u1 = eng.add_request(short, 5)
+    u2 = eng.add_request(long_prompt, 6)  # behind the short one
+    started = []
+    orig = eng._start_chunked
+    eng._start_chunked = lambda slot, req: (started.append(req), orig(slot, req))[1]
+    eng.run()
+    assert [r.prompt for r in started] == [long_prompt]
+    assert eng.result(u1) == _ref_greedy(params, short, 5)
+    assert eng.result(u2) == _ref_greedy(params, long_prompt, 6)
+
+
 def test_chunked_prefill_engine_interleaves(params):
     """The long prompt must NOT stall the running slot: its decode count
     grows while the chunked prefill is in flight."""
